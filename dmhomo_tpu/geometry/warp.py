@@ -1,0 +1,172 @@
+"""Dense warping / resampling ops (NHWC, clamp-gather based).
+
+The reference mixes three bilinear-warp implementations with *different*
+boundary semantics; HEM inference numbers depend on which one runs:
+
+* ``mode='border'``  - clamp sample coords to the image, then bilinear.
+  Equals `flow_warp`'s grid_sample(padding='border', align_corners=True)
+  (denoising_diffusion_pytorch.py:1262-1280) and `WarpImages`'s pre-clamped
+  gather (HEM/model/utils.py:104-197).
+* ``mode='collapse'`` - the `transformer`/`_interpolate` gather
+  (HEM/model/utils.py:443-545): coords are *not* pre-clamped; the four tap
+  indices are clamped and the interpolation weights are computed from the
+  clamped tap positions against the raw coordinate.  Outside the image the
+  two taps collapse to the same pixel and the weights sum to ~0, so
+  out-of-range samples fade to zero.  This is the variant OSNet/Swin use
+  (`get_warp_flow`, HEM/model/utils.py:548-553) - match it exactly.
+
+Resizes reproduce torch.nn.functional.interpolate semantics
+(align_corners=True bilinear; floor-scaled nearest) as two small matmuls /
+gathers so they map onto the MXU instead of a scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmhomo_tpu.geometry.grids import pixel_grid
+
+
+def _gather_hw(img_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """img_flat: (B, H*W, C); idx: (B, N) int32 -> (B, N, C)."""
+    return jax.vmap(lambda im, ix: jnp.take(im, ix, axis=0))(img_flat, idx)
+
+
+def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray, mode: str = "collapse") -> jnp.ndarray:
+    """Sample ``img`` at pixel ``coords``.
+
+    img: (B, H, W, C); coords: (B, h, w, 2) of (x, y) pixel positions.
+    Returns (B, h, w, C).
+    """
+    B, H, W, C = img.shape
+    _, h, w, _ = coords.shape
+    x = coords[..., 0].reshape(B, -1)
+    y = coords[..., 1].reshape(B, -1)
+
+    if mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+    elif mode != "collapse":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
+
+    if mode == "border":
+        # grid_sample semantics: weights from the *unclamped* tap positions
+        # of the (already clamped) coordinate; only gather indices clamp.
+        x0f, x1f = x0, x0 + 1.0
+        y0f, y1f = y0, y0 + 1.0
+    else:
+        # HEM `_interpolate` semantics: weights from the *clamped* tap
+        # positions against the raw coordinate (zero-collapse outside).
+        x0f = x0i.astype(img.dtype)
+        x1f = x1i.astype(img.dtype)
+        y0f = y0i.astype(img.dtype)
+        y1f = y1i.astype(img.dtype)
+    wa = (x1f - x) * (y1f - y)
+    wb = (x1f - x) * (y - y0f)
+    wc = (x - x0f) * (y1f - y)
+    wd = (x - x0f) * (y - y0f)
+
+    flat = img.reshape(B, H * W, C)
+    Ia = _gather_hw(flat, y0i * W + x0i)
+    Ib = _gather_hw(flat, y1i * W + x0i)
+    Ic = _gather_hw(flat, y0i * W + x1i)
+    Id = _gather_hw(flat, y1i * W + x1i)
+
+    out = (
+        wa[..., None] * Ia + wb[..., None] * Ib + wc[..., None] * Ic + wd[..., None] * Id
+    )
+    return out.reshape(B, h, w, C)
+
+
+def warp_by_flow(img: jnp.ndarray, flow: jnp.ndarray, mode: str = "collapse") -> jnp.ndarray:
+    """Backward-warp: out(x) = img(x + flow(x)).
+
+    img (B,H,W,C), flow (B,h,w,2) -> (B,h,w,C). ``mode='border'`` gives the
+    DGM `flow_warp` semantics; ``mode='collapse'`` the HEM `get_warp_flow`.
+    """
+    _, h, w, _ = flow.shape
+    coords = pixel_grid(h, w, dtype=flow.dtype)[None] + flow
+    return bilinear_sample(img, coords, mode=mode)
+
+
+def warp_by_homography(
+    img: jnp.ndarray, H: jnp.ndarray, mode: str = "collapse", guard: str = "cond"
+) -> jnp.ndarray:
+    """out(x) = img(H(x)).  img (B,H,W,C), H (B,3,3)."""
+    from dmhomo_tpu.geometry.homography import homography_to_mapping
+
+    b, hh, ww, _ = img.shape
+    coords = homography_to_mapping(H, hh, ww, guard=guard)
+    return bilinear_sample(img, coords, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# resizes (torch-compatible semantics, expressed as matmuls / gathers)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _align_corners_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix for align_corners=True bilinear."""
+    M = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_out == 1:
+        M[0, 0] = 1.0
+        return M
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, n_in - 1)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    frac = (src - lo).astype(np.float32)
+    M[np.arange(n_out), lo] += 1.0 - frac
+    M[np.arange(n_out), hi] += frac
+    return M
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=True) on NHWC.
+
+    Implemented as two dense matmuls (separable kernel) - MXU-friendly and
+    exactly reproducible, unlike jax.image.resize's half-pixel convention.
+    """
+    _, H, W, _ = x.shape
+    oh, ow = out_hw
+    Mh = jnp.asarray(_align_corners_matrix(H, oh), dtype=x.dtype)
+    Mw = jnp.asarray(_align_corners_matrix(W, ow), dtype=x.dtype)
+    hi = jax.lax.Precision.HIGHEST  # flows feed the eval metric - keep fp32
+    y = jnp.einsum("oh,bhwc->bowc", Mh, x, precision=hi)
+    return jnp.einsum("pw,bowc->bopc", Mw, y, precision=hi)
+
+
+def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') on NHWC: src = floor(i * in/out)."""
+    _, H, W, _ = x.shape
+    oh, ow = out_hw
+    iy = np.clip(np.floor(np.arange(oh) * (H / oh)).astype(np.int32), 0, H - 1)
+    ix = np.clip(np.floor(np.arange(ow) * (W / ow)).astype(np.int32), 0, W - 1)
+    return x[:, jnp.asarray(iy)][:, :, jnp.asarray(ix)]
+
+
+def upsample_flow_to(flow: jnp.ndarray, out_hw, scale: bool = True) -> jnp.ndarray:
+    """Resize a flow field with magnitude rescale.
+
+    Matches `upsample2d_flow_as(..., if_rate=True)` (HEM/model/utils.py:556-572):
+    multiply (u, v) by (w_out/w_in, h_out/h_in) *before* the align-corners
+    bilinear resize. flow: (B, h, w, 2).
+    """
+    _, h, w, _ = flow.shape
+    oh, ow = out_hw
+    if scale:
+        factors = jnp.asarray([ow / w, oh / h], dtype=flow.dtype)
+        flow = flow * factors
+    return resize_bilinear_align_corners(flow, out_hw)

@@ -1,0 +1,30 @@
+"""Test config: force an 8-device virtual CPU mesh.
+
+This mirrors how the reference's multi-GPU behaviour would be tested without
+hardware (SURVEY.md section 4): all sharding/collective tests run against
+XLA's host platform with 8 fake devices.
+
+The axon TPU plugin (when present) force-registers itself at interpreter
+boot and overwrites ``jax_platforms``; re-overriding via jax.config after
+import reliably selects the CPU backend either way.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,37 @@
+"""Host-side data pipeline: DGM conditions, generated-shard IO, HEM datasets."""
+
+from dmhomo_tpu.data.conditions import (
+    build_condition,
+    flow_to_rgb_np,
+    morph_close_mask,
+)
+from dmhomo_tpu.data.shards import (
+    save_generation_shard,
+    load_generation_shard,
+    explode_shards_to_samples,
+    load_sample,
+)
+from dmhomo_tpu.data.hem_data import (
+    HEMTrainDataset,
+    CAHomoTestDataset,
+    SyntheticHomoPairs,
+    MEAN_I,
+    STD_I,
+)
+from dmhomo_tpu.data.loader import DataLoader
+
+__all__ = [
+    "build_condition",
+    "flow_to_rgb_np",
+    "morph_close_mask",
+    "save_generation_shard",
+    "load_generation_shard",
+    "explode_shards_to_samples",
+    "load_sample",
+    "HEMTrainDataset",
+    "CAHomoTestDataset",
+    "SyntheticHomoPairs",
+    "MEAN_I",
+    "STD_I",
+    "DataLoader",
+]

@@ -1,0 +1,230 @@
+"""HEM datasets: generated-pair training set, CAHomo test set, synthetic pairs.
+
+Parity targets (HEM/dataset/data_loader.py):
+* DGMTrainData (:97-255): per-sample npy -> H rescaled 256 -> 360x640, images
+  resized, mean/std normalized ([118.93,113.97,102.60]/[69.85,68.81,72.45]),
+  grayscale by channel mean, random crop 320x576 inside a rho=16 margin,
+  full-res fwd/bwd GT flows from H and H^-1, patch flows cropped from them.
+  Fix applied (SURVEY.md quirk): train batches DO carry `ganhomo_mask` ones.
+* HomoTestData (:258-352): test.txt pair list + pt/*.npy matched points +
+  img/; gray+normalized full imgs and 320x576 resized "patch".
+* SyntheticHomoPairs: no-disk stand-in generating pairs by warping random
+  textures with random homographies - used by tests and demo runs.
+
+All outputs are NHWC numpy float32 dicts (channel-last, unlike the torch
+reference) ready for device upload.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import numpy as np
+
+from dmhomo_tpu.data.shards import load_sample
+from dmhomo_tpu.geometry.host import homography_to_flow_np, rescale_homography_np
+
+MEAN_I = np.array([118.93, 113.97, 102.60], np.float64).reshape(1, 1, 3)
+STD_I = np.array([69.85, 68.81, 72.45], np.float64).reshape(1, 1, 3)
+
+
+def normalize_gray(img_u8: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8/float -> (H, W, 1) normalized grayscale (ref :240-248)."""
+    img = (np.asarray(img_u8, np.float64) - MEAN_I) / STD_I
+    return np.mean(img, axis=2, keepdims=True).astype(np.float32)
+
+
+class HEMTrainDataset:
+    """Generated-pair training set over per-sample npys."""
+
+    def __init__(
+        self,
+        samples_dir: str,
+        crop_size=(320, 576),
+        ori_size=(360, 640),
+        rho: int = 16,
+        rng: Optional[np.random.Generator] = None,
+        limit: Optional[int] = None,
+    ):
+        self.paths = sorted(glob.glob(os.path.join(samples_dir, "*.npy")))
+        if limit:
+            self.paths = self.paths[:limit]
+        self.crop_size = tuple(crop_size)
+        self.ori_size = tuple(ori_size)
+        self.rho = rho
+        self.rng = rng or np.random.default_rng()
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx):
+        import cv2
+
+        buf = load_sample(self.paths[idx])
+        img12 = buf["img12"]  # (6, S, S) uint8 CHW
+        homo = np.asarray(buf["homo12"], np.float64)
+        img1 = img12[:3].transpose(1, 2, 0)
+        img2 = img12[3:].transpose(1, 2, 0)
+        h, w = img1.shape[:2]
+        oh, ow = self.ori_size
+
+        if (h, w) != (oh, ow):
+            homo = rescale_homography_np(homo, (h, w), (oh, ow))
+            img1 = cv2.resize(img1, (ow, oh))
+            img2 = cv2.resize(img2, (ow, oh))
+        homo_inv = np.linalg.inv(homo)
+
+        imgs_rgb_full = np.concatenate([img1, img2], axis=2).astype(np.float32) / 255.0
+
+        g1 = normalize_gray(img1)
+        g2 = normalize_gray(img2)
+
+        ph, pw = self.crop_size
+        x = int(self.rng.integers(self.rho, ow - self.rho - pw + 1))
+        y = int(self.rng.integers(self.rho, oh - self.rho - ph + 1))
+
+        flow_f = homography_to_flow_np(homo, oh, ow, eps=1e-8)
+        flow_b = homography_to_flow_np(homo_inv, oh, ow, eps=1e-8)
+        flow_f_patch = flow_f[y : y + ph, x : x + pw]
+        flow_b_patch = flow_b[y : y + ph, x : x + pw]
+
+        return {
+            "imgs_gray_full": np.concatenate([g1, g2], axis=2),
+            "imgs_gray_patch": np.concatenate(
+                [g1[y : y + ph, x : x + pw], g2[y : y + ph, x : x + pw]], axis=2
+            ),
+            "flow_gt_full": np.concatenate([flow_b, flow_f], axis=2),
+            "flow_gt_patch": np.concatenate([flow_b_patch, flow_f_patch], axis=2),
+            "start": np.asarray([x, y], np.float32),
+            "imgs_rgb_full": imgs_rgb_full,
+            "ganhomo_mask": np.ones((ph, pw, 1), np.float32),
+        }
+
+
+class CAHomoTestDataset:
+    """CAHomo test split: img pairs + 6 GT matched points per pair."""
+
+    def __init__(self, data_dir: str, crop_size=(320, 576)):
+        self.data_dir = data_dir
+        self.crop_size = tuple(crop_size)
+        with open(os.path.join(data_dir, "test.txt")) as f:
+            self.pairs = [ln.strip() for ln in f if ln.strip()]
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx):
+        import cv2
+
+        line = self.pairs[idx]
+        video_name = line.split("/")[0]
+        names = line.split(" ")
+        pt_name = names[0].split("/")[-1] + "_" + names[1].split("/")[-1] + ".npy"
+
+        img1 = cv2.imread(os.path.join(self.data_dir, "img", names[0]))
+        img2 = cv2.imread(os.path.join(self.data_dir, "img", names[1]))
+
+        pt = np.load(os.path.join(self.data_dir, "pt", pt_name), allow_pickle=True).item()
+        pt_set = np.asarray(pt["matche_pts"][:6], np.float32)  # (6, 2, 2)
+
+        g1 = normalize_gray(img1)
+        g2 = normalize_gray(img2)
+        ph, pw = self.crop_size
+        g1_rs = cv2.resize(g1, (pw, ph))[..., None]
+        g2_rs = cv2.resize(g2, (pw, ph))[..., None]
+
+        return {
+            "imgs_gray_full": np.concatenate([g1, g2], axis=2),
+            "imgs_gray_patch": np.concatenate([g1_rs, g2_rs], axis=2),
+            "imgs_rgb_full": np.concatenate([img1, img2], axis=2).astype(np.float32) / 255.0,
+            "pt_set": pt_set,
+            "video_names": video_name,
+            "ganhomo_mask": np.ones((g1.shape[0], g1.shape[1], 1), np.float32),
+        }
+
+
+class SyntheticHomoPairs:
+    """Random-texture pairs under known homographies (no disk required).
+
+    Serves tests, demos and smoke training; emits the same dict schema as
+    HEMTrainDataset.  Image2 = warp(image1, H) + noise, so the GT flows are
+    exact and small training runs can actually converge.
+    """
+
+    def __init__(
+        self,
+        n: int = 64,
+        crop_size=(320, 576),
+        ori_size=(360, 640),
+        rho: int = 16,
+        max_offset: float = 8.0,
+        seed: int = 0,
+        noise: float = 0.01,
+    ):
+        self.n = n
+        self.crop_size = tuple(crop_size)
+        self.ori_size = tuple(ori_size)
+        self.rho = rho
+        self.max_offset = max_offset
+        self.noise = noise
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def _random_homography(self, rng, h, w):
+        from dmhomo_tpu.geometry.homography import dlt_solve_4pt
+        import jax.numpy as jnp
+
+        corners = np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]], np.float32)
+        off = rng.uniform(-self.max_offset, self.max_offset, (4, 2)).astype(np.float32)
+        H = dlt_solve_4pt(jnp.asarray(corners[None]), jnp.asarray(off[None]))[0]
+        return np.asarray(H, np.float64)
+
+    def __getitem__(self, idx):
+        import cv2
+
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        oh, ow = self.ori_size
+        # smooth random texture
+        small = rng.uniform(0, 255, (oh // 8, ow // 8, 3)).astype(np.float32)
+        img1 = cv2.resize(small, (ow, oh), interpolation=cv2.INTER_CUBIC)
+        img1 = np.clip(img1, 0, 255)
+
+        homo = self._random_homography(rng, oh, ow)
+        homo_inv = np.linalg.inv(homo)
+        # convention: a feature at x in img1 sits at H(x) in img2
+        # (flow_f = H - id, and warp(img2, flow_f) == img1), so
+        # img2(y) = img1(H^-1(y)) - remap img1 by the mapping of H^-1.
+        from dmhomo_tpu.geometry.host import homography_to_mapping_np
+
+        mapping = homography_to_mapping_np(homo_inv, oh, ow, eps=1e-8)
+        img2 = cv2.remap(
+            img1, mapping[..., 0], mapping[..., 1], cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_REPLICATE,
+        )
+        img2 = np.clip(img2 + rng.normal(0, self.noise * 255, img2.shape), 0, 255)
+        g1 = normalize_gray(img1)
+        g2 = normalize_gray(img2)
+        ph, pw = self.crop_size
+        x = int(rng.integers(self.rho, ow - self.rho - pw + 1))
+        y = int(rng.integers(self.rho, oh - self.rho - ph + 1))
+
+        flow_f = homography_to_flow_np(homo, oh, ow, eps=1e-8)
+        flow_b = homography_to_flow_np(homo_inv, oh, ow, eps=1e-8)
+
+        return {
+            "imgs_gray_full": np.concatenate([g1, g2], axis=2),
+            "imgs_gray_patch": np.concatenate(
+                [g1[y : y + ph, x : x + pw], g2[y : y + ph, x : x + pw]], axis=2
+            ),
+            "flow_gt_full": np.concatenate([flow_b, flow_f], axis=2),
+            "flow_gt_patch": np.concatenate(
+                [flow_b[y : y + ph, x : x + pw], flow_f[y : y + ph, x : x + pw]], axis=2
+            ),
+            "start": np.asarray([x, y], np.float32),
+            "imgs_rgb_full": np.concatenate([img1, img2], axis=2).astype(np.float32) / 255.0,
+            "ganhomo_mask": np.ones((ph, pw, 1), np.float32),
+        }

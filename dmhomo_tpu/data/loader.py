@@ -1,0 +1,116 @@
+"""Minimal prefetching batch loader with per-host sharding.
+
+Replaces torch DataLoader + accelerate's `split_batches` (SURVEY.md 2.11):
+each host slices the index space by (shard_index, num_shards) - the
+jax.process_index()-based data sharding of a TPU pod - shuffles its slice
+per epoch, collates numpy dicts and prefetches batches on a background
+thread so condition building overlaps device step time.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _collate(items):
+    first = items[0]
+    if isinstance(first, dict):
+        return {k: _collate([it[k] for it in items]) for k in first}
+    if isinstance(first, (str, bytes)):
+        return list(items)
+    if isinstance(first, tuple):
+        return tuple(_collate([it[i] for it in items]) for i in range(len(first)))
+    return np.stack([np.asarray(it) for it in items])
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        prefetch: int = 2,
+        num_workers: int = 0,
+    ):
+        assert 0 <= shard_index < num_shards
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.epoch = 0
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # contiguous per-host slice of the (shuffled) global order
+        return idx[self.shard_index :: self.num_shards]
+
+    def __len__(self):
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator:
+        idx = self._indices()
+        nb = len(self)
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    yield _collate(list(pool.map(self.dataset.__getitem__, sel)))
+        else:
+            for b in range(nb):
+                sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                yield _collate([self.dataset[i] for i in sel])
+
+    def __iter__(self):
+        self.epoch += 1
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
+def cycle(loader) -> Iterator:
+    """Endless batch stream (the reference's `cycle`, train.py:194)."""
+    while True:
+        yield from loader

@@ -1,0 +1,92 @@
+"""CAHomo point-matching-error metric and scene-category reporting.
+
+Parity targets:
+* `compute_eval_results` / `ComputeErrFlow` (HEM/loss/losses.py:208-211,
+  263-296): per sample, mean over 6 GT point pairs of
+  min(||dst - (src + flow_f[int(src_y), int(src_x)])||,
+      ||src - (dst + flow_b[int(dst_y), int(dst_x)])||)
+  - note the *integer-truncated* pixel lookup into the full-res flow.
+* category bucketing RE/LT/LL/SF/LF over test video ids + AVG = mean of the
+  5 category means (hem_evaluate.py:68-83,126-155).  The reference's eval
+  seeds each category list with a spurious 0 element (hem_evaluate.py:79-83),
+  biasing means low; its twin HEM/evaluate.py:74-78 does not.  We default to
+  the clean lists and expose `seed_zero=True` to reproduce the biased
+  variant (SURVEY.md "quirks NOT to replicate").
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CATEGORY_NAMES = ("RE", "LT", "LL", "SF", "LF")
+
+# CAHomo *test* split video ids per scene category (hem_evaluate.py:68-78)
+TEST_CATEGORIES: Dict[str, tuple] = {
+    "RE": ("0000011", "0000016", "00000147", "00000155", "00000158", "00000107",
+           "00000239", "0000030"),
+    "LT": ("0000038", "0000044", "0000046", "0000047", "00000238", "00000177",
+           "00000188", "00000181"),
+    "LL": ("0000085", "00000100", "0000091", "0000092", "00000216", "00000226"),
+    "SF": ("00000244", "00000251", "0000026", "0000030", "0000034", "00000115"),
+    "LF": ("00000104", "0000031", "0000035", "00000129", "00000141", "00000200"),
+}
+
+
+def point_matching_error(
+    pt_set: jnp.ndarray, flow_f: jnp.ndarray, flow_b: jnp.ndarray
+) -> jnp.ndarray:
+    """Vectorized CAHomo point error.
+
+    pt_set: (B, 6, 2, 2) - [pair, (src, dst), (x, y)] GT matched points.
+    flow_f/flow_b: (B, H, W, 2) full-resolution flows.
+    Returns (B,) mean-over-6-pairs min(fwd, bwd) errors.
+    """
+    src = pt_set[:, :, 0, :]  # (B, 6, 2)
+    dst = pt_set[:, :, 1, :]
+
+    def lookup(flow, pts):
+        # integer truncation like flow[int(y), int(x)] (losses.py:209)
+        x = pts[..., 0].astype(jnp.int32)
+        y = pts[..., 1].astype(jnp.int32)
+        H, W = flow.shape[1], flow.shape[2]
+        x = jnp.clip(x, 0, W - 1)
+        y = jnp.clip(y, 0, H - 1)
+
+        def one(f, xi, yi):
+            return f[yi, xi]  # (6, 2)
+
+        return jax.vmap(one)(flow, x, y)
+
+    err_f = jnp.linalg.norm(dst - (src + lookup(flow_f, src)), axis=-1)  # (B, 6)
+    err_b = jnp.linalg.norm(src - (dst + lookup(flow_b, dst)), axis=-1)
+    return jnp.minimum(err_f, err_b).mean(axis=1)
+
+
+def bucket_by_category(
+    errors: Sequence[float],
+    video_names: Sequence[str],
+    categories: Dict[str, tuple] = TEST_CATEGORIES,
+    seed_zero: bool = False,
+) -> Dict[str, list]:
+    """Host-side bucketing of per-sample errors by video id."""
+    buckets = {k: ([0.0] if seed_zero else []) for k in categories}
+    for err, name in zip(errors, video_names):
+        for cat, ids in categories.items():
+            if name in ids:
+                buckets[cat].append(float(err))
+                break
+    return buckets
+
+
+def category_report(buckets: Dict[str, list]) -> Dict[str, float]:
+    """Per-category means + AVG (mean of the 5 category means)."""
+    report = {}
+    for cat in CATEGORY_NAMES:
+        vals = buckets.get(cat, [])
+        report[cat] = float(np.mean(vals)) if vals else float("nan")
+    report["AVG"] = float(np.mean([report[c] for c in CATEGORY_NAMES]))
+    return report

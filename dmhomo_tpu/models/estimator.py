@@ -1,0 +1,163 @@
+"""HEM homography estimator (the reference's OSNet / Ms_Transformer), Flax/NHWC.
+
+Parity target: HEM/model/net.py:697-1016 with the shipped "HomoGAN" config:
+* `fea_extra`: shared 3-conv (1->4->8->1, BN+ReLU) feature extractor (:759-775)
+* h_net = SwinTransformer -> 8 basis weights; flow = sum_k w_k * basis_k
+  (:806-815), run forward and backward by swapping the inputs
+* `FlowMaskEstimator` (DenseNet-style concat growth, channels 8,16,32,16,8 ->
+  sigmoid 1ch) on (feat1, warp(feat2)) pairs (:635-694, :817-822)
+* mask_fusion = clamp(warp(mask_b, flow_f), 0, 1) * mask_f, then global
+  min/absmax normalization (:824-830)
+* eval branch: flows bilinear-upsampled to full res with magnitude rescale,
+  masks nearest-upsampled, fusion recomputed at full res (:955-984)
+
+The train/eval output resolutions differ, so the full-res branch lives in
+`upsample_outputs` as a separate pure function - two static-shape jit
+programs instead of the reference's in-graph branch (SURVEY.md hard parts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dmhomo_tpu.geometry.basis import gen_homography_basis
+from dmhomo_tpu.geometry.warp import resize_nearest, upsample_flow_to, warp_by_flow
+from dmhomo_tpu.models.swin import SwinConfig, SwinTransformer
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    crop_size: tuple = (320, 576)
+    ori_size: tuple = (360, 640)
+    in_channels: int = 2
+    num_basis: int = 8
+    swin: SwinConfig = SwinConfig()
+    dtype: jnp.dtype = jnp.float32
+
+
+class SharedFeatureExtractor(nn.Module):
+    """1 -> 4 -> 8 -> 1 conv+BN+ReLU stack (ref feature_extractor :759-775)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, ch in enumerate([4, 8, 1]):
+            x = nn.Conv(ch, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class FlowMaskEstimator(nn.Module):
+    """DenseNet-style concat-growth mask head (ref :635-694)."""
+
+    f_channels: Sequence[int] = (8, 16, 32, 16, 8)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, ch in enumerate(self.f_channels):
+            y = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i + 1}")(x)
+            y = nn.leaky_relu(y, 0.1)
+            x = jnp.concatenate([y, x], axis=-1)
+        out = nn.Conv(1, (3, 3), padding=1, dtype=jnp.float32, name="conv_last")(
+            x.astype(jnp.float32)
+        )
+        return nn.sigmoid(out)
+
+
+def _normalize_fusion(mask_fusion: jnp.ndarray) -> jnp.ndarray:
+    """Global (whole-tensor) min / absmax normalization (ref :828-830)."""
+    mn = jnp.min(mask_fusion)
+    mx = jnp.max(jnp.abs(mask_fusion))
+    return (mask_fusion - mn) / mx
+
+
+class HomographyEstimator(nn.Module):
+    """Forward+backward homography flows and uncertainty masks.
+
+    Input: imgs_gray_patch (B, hp, wp, 2) - normalized grayscale pair.
+    Returns a dict of patch-resolution outputs (training view); use
+    `upsample_outputs` for the full-resolution eval view.
+    """
+
+    config: EstimatorConfig = EstimatorConfig()
+
+    @nn.compact
+    def __call__(self, imgs_gray_patch, train: bool = False):
+        cfg = self.config
+        B, hp, wp, _ = imgs_gray_patch.shape
+        img1 = imgs_gray_patch[..., :1]
+        img2 = imgs_gray_patch[..., 1:2]
+
+        basis = jnp.asarray(
+            gen_homography_basis(cfg.crop_size[0], cfg.crop_size[1]).reshape(
+                1, cfg.num_basis, -1
+            )
+        )
+
+        fea = SharedFeatureExtractor(cfg.dtype, name="fea_extra")
+        f1 = fea(img1, train)
+        f2 = fea(img2, train)
+
+        h_net = SwinTransformer(cfg.swin, name="h_net")
+        w_f = h_net(jnp.concatenate([f1, f2], axis=-1), train)  # (B, 8, 1)
+        w_b = h_net(jnp.concatenate([f2, f1], axis=-1), train)
+
+        flow_f = jnp.einsum("bko,okn->bn", w_f, basis).reshape(B, hp, wp, 2)
+        flow_b = jnp.einsum("bko,okn->bn", w_b, basis).reshape(B, hp, wp, 2)
+
+        f2_warp = warp_by_flow(f2, flow_f, mode="collapse")
+        f1_warp = warp_by_flow(f1, flow_b, mode="collapse")
+
+        mask_net = FlowMaskEstimator(dtype=cfg.dtype, name="mask_generator")
+        mask_f = mask_net(jnp.concatenate([f1, f2_warp], axis=-1))
+        mask_b = mask_net(jnp.concatenate([f2, f1_warp], axis=-1))
+
+        mask_b_warp = jnp.clip(warp_by_flow(mask_b, flow_f, mode="collapse"), 0.0, 1.0)
+        mask_fusion = _normalize_fusion(mask_b_warp * mask_f)
+
+        return {
+            "flow_f": flow_f,
+            "flow_b": flow_b,
+            "mask_f": mask_f,
+            "mask_b": mask_b,
+            "mask_fusion": mask_fusion,
+            "weight_f": w_f,
+            "weight_b": w_b,
+            "fil_features": {
+                "img1_patch_fea": f1,
+                "img2_patch_fea": f2,
+                "img1_patch_fea_warp": f1_warp,
+                "img2_patch_fea_warp": f2_warp,
+            },
+        }
+
+
+def upsample_outputs(outputs: dict, full_hw) -> dict:
+    """Eval-resolution view of the estimator outputs (ref :955-984).
+
+    Flows are bilinear-upsampled with magnitude rescale; masks nearest;
+    fusion recomputed and renormalized at full resolution.
+    """
+    flow_f = upsample_flow_to(outputs["flow_f"], full_hw, scale=True)
+    flow_b = upsample_flow_to(outputs["flow_b"], full_hw, scale=True)
+    mask_f = resize_nearest(outputs["mask_f"], full_hw)
+    mask_b = resize_nearest(outputs["mask_b"], full_hw)
+    mask_b_warp = jnp.clip(warp_by_flow(mask_b, flow_f, mode="collapse"), 0.0, 1.0)
+    mask_fusion = _normalize_fusion(mask_b_warp * mask_f)
+    return {
+        **outputs,
+        "flow_f": flow_f,
+        "flow_b": flow_b,
+        "mask_f": mask_f,
+        "mask_b": mask_b,
+        "mask_fusion": mask_fusion,
+    }

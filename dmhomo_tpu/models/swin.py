@@ -1,0 +1,430 @@
+"""Multi-scale Swin homography-weight regressor (the HEM h_net), Flax/NHWC.
+
+Parity target: `SwinTransformer` + blocks in HEM/model/swin_multi.py with the
+shipped config (HEM/experiments/params.json): crop 320x576, patch 4,
+in_chans 2, num_basis 8, embed_dim 24, depths [2,4,6], layer_depth [3,2,1],
+heads [3,12,24], window 8, mlp_ratio 3, qkv_bias, no dropout/droppath.
+
+Architecture (swin_multi.py:145-183):
+  conv feature pyramids for both images (:186-217), coarse-to-fine over 3
+  levels; at each level the second image's features are warped by the current
+  flow estimate (basis . weights), the pair is tokenized and run through a
+  stack of W-MSA/SW-MSA Swin blocks with conv PatchMerging between sub-levels
+  (:931-976, :979-1057), then 8 learned query tokens are updated by a
+  class-attention block (:220-321) and regressed to per-basis weight deltas,
+  accumulated with a resolution scale factor.
+
+TPU notes: window partition is pure reshape/transpose; the SW-MSA attention
+mask and relative-position index are host-precomputed constants; all shapes
+static so each level compiles to one fused region.  Attention softmax in
+fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmhomo_tpu.geometry.basis import gen_homography_basis
+from dmhomo_tpu.geometry.warp import upsample_flow_to, warp_by_flow
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    crop_size: tuple = (320, 576)
+    patch_size: int = 4
+    in_chans: int = 2
+    num_basis: int = 8
+    embed_dim: int = 24
+    depths: Sequence[int] = (2, 4, 6)
+    layer_depth: Sequence[int] = (3, 2, 1)
+    num_heads: Sequence[int] = (3, 12, 24)
+    window_size: int = 8
+    mlp_ratio: float = 3.0
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.depths)
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (self.num_layers - 1))
+
+
+# ---------------------------------------------------------------------------
+# host-precomputed constants
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def relative_position_index(ws: int) -> np.ndarray:
+    """(ws*ws, ws*ws) index into the (2ws-1)^2 bias table (ref :385-399)."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # 2, N, N
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+@functools.lru_cache(maxsize=64)
+def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, ws*ws, ws*ws) additive mask (0 / -100) for SW-MSA (ref :521-544)."""
+    img_mask = np.zeros((H, W))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[hs, wsl] = cnt
+            cnt += 1
+    m = img_mask.reshape(H // ws, ws, W // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, ws*ws, C)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(wins: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    C = wins.shape[-1]
+    B = wins.shape[0] // ((H // ws) * (W // ws))
+    x = wins.reshape(B, H // ws, W // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+# ---------------------------------------------------------------------------
+# modules
+# ---------------------------------------------------------------------------
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        Bn, N, C = x.shape  # N = ws*ws
+        ws = self.window_size
+        hd = self.dim // self.num_heads
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(Bn, N, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, h, d)
+        q = q * (hd**-0.5)
+        attn = jnp.einsum("bihd,bjhd->bhij", q, k)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
+        )
+        idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+        bias = table[idx].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bn // nW, nW, self.num_heads, N, N) + mask[None, :, None]
+            attn = attn.reshape(Bn, self.num_heads, N, N)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(Bn, N, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    input_resolution: tuple
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = self.input_resolution
+        ws, shift = self.window_size, self.shift_size
+        if min(H, W) <= ws:  # ref :497-500
+            ws, shift = min(H, W), 0
+        B, L, C = x.shape
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        x = x.reshape(B, H, W, C)
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(H, W, ws, shift))
+        else:
+            mask = None
+
+        wins = window_partition(x, ws)
+        wins = WindowAttention(
+            self.dim, ws, self.num_heads, self.qkv_bias, self.dtype, name="attn"
+        )(wins, mask)
+        x = window_reverse(wins, ws, H, W)
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        x = x.reshape(B, L, C)
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """Conv downsample merge: conv3s2+BN+LReLU, conv3+BN+LReLU (ref :931-976)."""
+
+    dim: int
+    input_resolution: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x = nn.Conv(2 * self.dim, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="norm1")(x)
+        x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(2 * self.dim, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="norm2")(x)
+        x = nn.leaky_relu(x, 0.01)
+        return x.reshape(B, (H // 2) * (W // 2), 2 * C)
+
+
+class BasicLayer(nn.Module):
+    """One encoder stage: layer_depth sub-levels of Swin blocks + merges."""
+
+    dim: int
+    input_resolution: tuple
+    depth: int
+    layer_depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for l in range(self.layer_depth):
+            res = (self.input_resolution[0] // 2**l, self.input_resolution[1] // 2**l)
+            dim = self.dim * 2**l
+            for i in range(self.depth):
+                x = SwinBlock(
+                    dim=dim,
+                    input_resolution=res,
+                    num_heads=self.num_heads,
+                    window_size=self.window_size,
+                    shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    dtype=self.dtype,
+                    name=f"sub{l}_block{i}",
+                )(x)
+            if l < self.layer_depth - 1:
+                x = PatchMerging(dim, res, self.dtype, name=f"sub{l}_merge")(x, train)
+        return x
+
+
+class ClassAttention(nn.Module):
+    """8 query tokens attend over all tokens (ref Class_Attention :220-263)."""
+
+    dim: int
+    num_heads: int
+    num_queries: int = 8
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, u):
+        B, N, C = u.shape
+        nq = self.num_queries
+        hd = self.dim // self.num_heads
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(u[:, :nq])
+        k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(u)
+        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(u)
+        q = q.reshape(B, nq, self.num_heads, hd) * (hd**-0.5)
+        k = k.reshape(B, N, self.num_heads, hd)
+        v = v.reshape(B, N, self.num_heads, hd)
+        attn = jnp.einsum("bihd,bjhd->bhij", q, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, nq, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class LayerScaleBlockCA(nn.Module):
+    """Query-token update block (ref LayerScale_Block_CA :266-321)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_cls, x):
+        init_val = 1e-5 if self.dim <= 24 else 1e-6
+        gamma_1 = self.param("gamma_1", nn.initializers.constant(init_val), (self.dim,))
+        gamma_2 = self.param("gamma_2", nn.initializers.constant(init_val), (self.dim,))
+
+        u = jnp.concatenate([x_cls, x], axis=1)
+        u = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(u)
+        x_cls = x_cls + gamma_1 * ClassAttention(
+            self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype, name="attn"
+        )(u)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x_cls)
+        x_cls = x_cls + gamma_2 * Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp1"
+        )(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x_cls)
+        return Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp2")(y)
+
+
+class FeatureExtractor(nn.Module):
+    """Conv pyramid: stride-2 conv + GELU + conv + GELU per level (ref :186-217).
+
+    Returns coarsest-first (reversed) like the reference.
+    """
+
+    embed_dim: int  # embed_dim // 2 of the Swin config
+    num_layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pyramid = []
+        for i in range(self.num_layers):
+            out_ch = int(self.embed_dim * 2**i)
+            x = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                        name=f"conv{i}_0")(x)
+            x = nn.gelu(x, approximate=False)
+            x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i}_1")(x)
+            x = nn.gelu(x, approximate=False)
+            pyramid.append(x)
+        return pyramid[::-1]
+
+
+class SwinTransformer(nn.Module):
+    """Coarse-to-fine homography-basis-weight regressor.
+
+    Input x: (B, h_patch, w_patch, 2) - the two 1-channel feature maps.
+    Output: (B, num_basis, 1) accumulated weights.
+    """
+
+    config: SwinConfig = SwinConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dt = cfg.dtype
+        B, hp, wp, _ = x.shape
+        nL = cfg.num_layers
+        nf = cfg.num_features
+
+        basis = jnp.asarray(
+            gen_homography_basis(cfg.crop_size[0], cfg.crop_size[1]).reshape(
+                1, cfg.num_basis, -1
+            )
+        )  # (1, 8, h*w*2) in (h, w, 2) flat order
+
+        query_init = self.param(
+            "query_token", nn.initializers.truncated_normal(0.02), (1, cfg.num_basis, nf)
+        )
+        query_token = jnp.broadcast_to(query_init, (B, cfg.num_basis, nf)).astype(dt)
+
+        extractor = FeatureExtractor(cfg.embed_dim // 2, nL, dt, name="feature_pyramid")
+        x1_pyr = extractor(x[..., :1].astype(dt))
+        x2_pyr = extractor(x[..., 1:].astype(dt))
+
+        # shared final norm / heads (ref :136-139)
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")
+        head1 = nn.Dense(nf, dtype=dt, name="head1")
+        head2 = nn.Dense(1, dtype=jnp.float32, name="head2")
+
+        weight = jnp.zeros((B, cfg.num_basis, 1), jnp.float32)
+        for l, (x1, x2) in enumerate(zip(x1_pyr, x2_pyr)):
+            _, h_x, w_x, _ = x1.shape
+            if l == 0:
+                x2_warp = x2
+            else:
+                flow = jnp.einsum("bko,okn->bn", weight, basis).reshape(
+                    B, cfg.crop_size[0], cfg.crop_size[1], 2
+                )
+                flow_l = upsample_flow_to(flow, (h_x, w_x), scale=True)
+                x2_warp = warp_by_flow(x2, flow_l, mode="collapse")
+
+            tok = jnp.concatenate([x1, x2_warp], axis=-1).reshape(B, h_x * w_x, -1)
+            enc_idx = nL - l - 1
+            tok = BasicLayer(
+                dim=int(cfg.embed_dim * 2**enc_idx),
+                input_resolution=(
+                    cfg.crop_size[0] // 2 ** (enc_idx + 1),
+                    cfg.crop_size[1] // 2 ** (enc_idx + 1),
+                ),
+                depth=cfg.depths[enc_idx],
+                layer_depth=cfg.layer_depth[enc_idx],
+                num_heads=cfg.num_heads[enc_idx],
+                window_size=cfg.window_size,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                dtype=dt,
+                name=f"encoder_{enc_idx}",
+            )(tok, train)
+
+            # blocks_token_only heads list = [1, 2, 2] (ref :117-118)
+            blk_heads = list(cfg.num_heads[1:]) + [cfg.num_heads[-1]]
+            query_token = LayerScaleBlockCA(
+                dim=nf,
+                num_heads=blk_heads[enc_idx],
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                dtype=dt,
+                name=f"token_block_{enc_idx}",
+            )(query_token, tok)
+            query_token = norm(query_token).astype(dt)
+
+            h = nn.gelu(head1(query_token), approximate=False)
+            h = head2(h)  # (B, 8, 1)
+            scale = hp // h_x
+            weight = weight + h.astype(jnp.float32) * scale
+
+        return weight

@@ -1,0 +1,308 @@
+"""Conditional denoising UNet (the DGM backbone), Flax/NHWC.
+
+Parity target: `Unet` in classifier_free_guidance.py:302-466 with the shipped
+config dim=64, dim_mults=(1,2,4,8), channels=6 (+3 condition channels -> 9 in),
+num_classes 5 (train) / 1 (sample):
+
+* WeightStandardizedConv + GroupNorm(8) + scale-shift ResnetBlocks (:196-241)
+* LinearAttention (softmax-q/k efficient attention, heads=4 dh=32, :244-270)
+  on every resolution, full Attention at the bottleneck (:273-296)
+* sinusoidal time MLP (:159-172, :353) and class embedding with a learned
+  null embedding for classifier-free guidance (:357-362, :419-425)
+* init 7x7 conv, 4 down stages (conv4x4 s2), mid, 4 up stages
+  (nearest-up + conv3x3), final ResnetBlock over concat(x, r) (:400-466)
+
+TPU notes: NHWC layout end-to-end; `dtype` selects the compute/activation
+dtype (bf16 for training throughput) while parameters stay fp32; weight
+standardization runs in fp32 regardless (its eps depends on it, :121).
+The per-sample null-class selection is a `jnp.where` on a (B,) bool
+``keep_mask`` so CFG's cond/null pair can run as one doubled batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    dim: int = 64
+    num_classes: int = 5
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    channels: int = 6
+    cond_channels: int = 3
+    resnet_block_groups: int = 8
+    attn_heads: int = 4
+    attn_dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+
+class WeightStandardizedConv(nn.Module):
+    """Conv2d with per-output-channel weight standardization (eps 1e-5 fp32)."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: str | Sequence = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        # standardize in fp32 over (kh, kw, in) per output channel
+        mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
+        var = kernel.var(axis=(0, 1, 2), keepdims=True)  # biased, like torch.var(unbiased=False)
+        kernel = (kernel - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class ChannelLayerNorm(nn.Module):
+    """Per-position LayerNorm over channels, learned gain only (ref :131-141)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * g
+        return out.astype(self.dtype)
+
+
+class SinusoidalPosEmb(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        freqs = jnp.exp(jnp.arange(half) * -(math.log(10000.0) / (half - 1)))
+        args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class Block(nn.Module):
+    """WSConv3x3 -> GroupNorm(8) -> (scale-shift) -> SiLU."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = WeightStandardizedConv(self.dim_out, (3, 3), dtype=self.dtype, name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x).astype(self.dtype)
+
+
+class ResnetBlock(nn.Module):
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond_emb=None):
+        scale_shift = None
+        if cond_emb is not None:
+            h = nn.silu(cond_emb)
+            h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="mlp")(h)
+            h = h[:, None, None, :]
+            scale_shift = jnp.split(h, 2, axis=-1)
+
+        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+        return h + x
+
+
+class LinearAttention(nn.Module):
+    """Efficient attention: softmax(q over d) . (softmax(k over n) v^T)."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)  # over d
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)  # over n
+        q = q * (self.dim_head**-0.5)
+        v = v / (H * W)
+
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)  # (B, h, d, e)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)  # (B, N, h, e)
+        out = out.reshape(B, H, W, hidden)
+        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
+        return ChannelLayerNorm(self.dim, self.dtype, name="out_norm")(out)
+
+
+class Attention(nn.Module):
+    """Full softmax attention over all H*W tokens (bottleneck only)."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q * (self.dim_head**-0.5)
+        sim = jnp.einsum("bihd,bjhd->bhij", q, k)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v)
+        out = out.reshape(B, H, W, hidden)
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
+
+
+class PreNormResidual(nn.Module):
+    dim: int
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        return self.inner(ChannelLayerNorm(self.dim, name="norm")(x)) + x
+
+
+class ConditionalUNet(nn.Module):
+    """The DGM denoiser.  Input x (B,H,W,6) + rgb_flow*mask condition."""
+
+    config: UNetConfig = UNetConfig()
+
+    @nn.compact
+    def __call__(self, x, time, classes, rgb_flow, mask, keep_mask, train: bool = False):
+        cfg = self.config
+        dt = cfg.dtype
+        dim = cfg.dim
+        time_dim = dim * 4
+        classes_dim = dim * 4
+
+        # class conditioning with learned null embedding (CFG)
+        classes_emb = nn.Embed(cfg.num_classes, dim, name="classes_emb")(classes)
+        null_emb = self.param("null_classes_emb", nn.initializers.normal(1.0), (dim,))
+        classes_emb = jnp.where(keep_mask[:, None], classes_emb, null_emb[None, :])
+        c = nn.Dense(classes_dim, name="classes_mlp_0")(classes_emb)
+        c = nn.gelu(c, approximate=False)
+        c = nn.Dense(classes_dim, name="classes_mlp_1")(c)
+
+        # time conditioning
+        t = SinusoidalPosEmb(dim, name="sinu_pos_emb")(time)
+        t = nn.Dense(time_dim, name="time_mlp_0")(t)
+        t = nn.gelu(t, approximate=False)
+        t = nn.Dense(time_dim, name="time_mlp_1")(t)
+
+        cond = jnp.concatenate([t, c], axis=-1).astype(dt)
+
+        # condition concat: (x, rgb_flow * mask) -> 9 channels (ref :430)
+        x = jnp.concatenate([x, rgb_flow * mask], axis=-1).astype(dt)
+        x = nn.Conv(dim, (7, 7), padding=3, dtype=dt, name="init_conv")(x)
+        r = x
+
+        dims = [dim] + [dim * m for m in cfg.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+        groups = cfg.resnet_block_groups
+
+        hs = []
+        for i, (dim_in, dim_out) in enumerate(in_out):
+            is_last = i >= num_res - 1
+            x = ResnetBlock(dim_in, groups, dt, name=f"down_{i}_block1")(x, cond)
+            hs.append(x)
+            x = ResnetBlock(dim_in, groups, dt, name=f"down_{i}_block2")(x, cond)
+            x = PreNormResidual(
+                dim_in,
+                LinearAttention(dim_in, cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down_{i}_attn"),
+                name=f"down_{i}_attn_wrap",
+            )(x)
+            hs.append(x)
+            if not is_last:
+                # conv 4x4 stride 2 pad 1 (ref Downsample :110-111)
+                x = nn.Conv(dim_out, (4, 4), strides=(2, 2), padding=1, dtype=dt,
+                            name=f"down_{i}_downsample")(x)
+            else:
+                x = nn.Conv(dim_out, (3, 3), padding=1, dtype=dt, name=f"down_{i}_downsample")(x)
+
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, groups, dt, name="mid_block1")(x, cond)
+        x = PreNormResidual(
+            mid_dim,
+            Attention(mid_dim, cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_attn"),
+            name="mid_attn_wrap",
+        )(x)
+        x = ResnetBlock(mid_dim, groups, dt, name="mid_block2")(x, cond)
+
+        for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = i == len(in_out) - 1
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_out, groups, dt, name=f"up_{i}_block1")(x, cond)
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_out, groups, dt, name=f"up_{i}_block2")(x, cond)
+            x = PreNormResidual(
+                dim_out,
+                LinearAttention(dim_out, cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up_{i}_attn"),
+                name=f"up_{i}_attn_wrap",
+            )(x)
+            if not is_last:
+                # nearest x2 upsample + conv3x3 (ref Upsample :106-107)
+                B, H, W, C = x.shape
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                x = nn.Conv(dim_in, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(x)
+            else:
+                x = nn.Conv(dim_in, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(dim, groups, dt, name="final_res_block")(x, cond)
+        out = nn.Conv(cfg.channels, (1, 1), dtype=jnp.float32, name="final_conv")(
+            x.astype(jnp.float32)
+        )
+        return out
+
+
+def make_unet_apply(model: ConditionalUNet):
+    """Adapter to the GaussianDiffusion model_fn signature."""
+
+    def apply_fn(params, x, t, classes, rgb_flow, mask, keep_mask, train=False, rngs=None):
+        return model.apply(
+            {"params": params}, x, t, classes, rgb_flow, mask, keep_mask, train=train
+        )
+
+    return apply_fn

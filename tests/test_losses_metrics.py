@@ -1,0 +1,131 @@
+"""Golden tests for HEM losses and the CAHomo eval metric (vs torch formulas)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from dmhomo_tpu.evaluation import (
+    TEST_CATEGORIES,
+    bucket_by_category,
+    category_report,
+    point_matching_error,
+)
+from dmhomo_tpu.losses import LossWeights, compute_losses, mask_bce_loss, nll_laplace
+
+
+def test_nll_laplace_matches_torch_formula(rng):
+    gt = rng.normal(0, 2, (2, 8, 12, 2)).astype(np.float32)
+    est = rng.normal(0, 2, (2, 8, 12, 2)).astype(np.float32)
+    mask = rng.uniform(0, 1, (2, 8, 12, 1)).astype(np.float32)
+    log_var = 1.0 - mask
+
+    ours = float(nll_laplace(jnp.asarray(gt), jnp.asarray(est), jnp.asarray(log_var)))
+
+    t_gt = torch.from_numpy(gt).permute(0, 3, 1, 2)
+    t_est = torch.from_numpy(est).permute(0, 3, 1, 2)
+    t_lv = torch.from_numpy(log_var).permute(0, 3, 1, 2)
+    loss = math.sqrt(2) * torch.exp(-0.5 * t_lv) * torch.abs(t_gt - t_est) + 0.5 * t_lv
+    valid = ~torch.isnan(loss) & ~torch.isinf(loss)
+    golden = float(torch.masked_select(loss, valid).mean())
+    np.testing.assert_allclose(ours, golden, rtol=1e-5)
+
+
+def test_nll_laplace_ignores_nonfinite(rng):
+    gt = np.zeros((1, 4, 4, 2), np.float32)
+    est = np.zeros((1, 4, 4, 2), np.float32)
+    est[0, 0, 0, 0] = np.inf  # poisons one element
+    lv = np.zeros((1, 4, 4, 1), np.float32)
+    out = float(nll_laplace(jnp.asarray(gt), jnp.asarray(est), jnp.asarray(lv)))
+    assert np.isfinite(out)
+
+
+def test_mask_bce_default_target_zero(rng):
+    """weight=(1,1) -> target 0 -> BCE = -mean log(1-m)."""
+    m = rng.uniform(0.05, 0.95, (2, 6, 6, 1)).astype(np.float32)
+    ours = float(mask_bce_loss(jnp.asarray(m)))
+    golden = float(-np.log(1 - m).mean())
+    np.testing.assert_allclose(ours, golden, rtol=1e-4)
+
+
+def test_compute_losses_stage_configs(rng):
+    B, H, W = 2, 8, 12
+    batch = {"flow_gt_patch": jnp.asarray(rng.normal(0, 1, (B, H, W, 4)).astype(np.float32))}
+    f = lambda *s: jnp.asarray(rng.normal(0, 1, s).astype(np.float32))
+    m = lambda *s: jnp.asarray(rng.uniform(0.1, 0.9, s).astype(np.float32))
+    outputs = {
+        "flow_f": f(B, H, W, 2),
+        "flow_b": f(B, H, W, 2),
+        "mask_f": m(B, H, W, 1),
+        "mask_b": m(B, H, W, 1),
+        "mask_fusion": m(B, H, W, 1),
+        "fil_features": {
+            "img1_patch_fea": f(B, H, W, 1),
+            "img2_patch_fea": f(B, H, W, 1),
+            "img1_patch_fea_warp": f(B, H, W, 1),
+            "img2_patch_fea_warp": f(B, H, W, 1),
+        },
+    }
+    # stage 1: nll only
+    l1 = compute_losses(batch, outputs, LossWeights(sup=0, unsup=0, mask_reg=0, nll=1))
+    assert float(l1["supervise"]) == 0.0 and float(l1["unsup"]) == 0.0
+    assert float(l1["total"]) == float(l1["nll"])
+    # stage 2: + supervised
+    l2 = compute_losses(batch, outputs, LossWeights(sup=1, nll=1))
+    assert float(l2["total"]) == float(l2["nll"]) + float(l2["supervise"])
+    assert float(l2["supervise"]) > 0
+
+
+def test_point_matching_error_golden(rng):
+    """Vectorized metric == the reference's python loop (int truncation incl.)."""
+    B, H, W = 3, 36, 64
+    flow_f = rng.normal(0, 3, (B, H, W, 2)).astype(np.float32)
+    flow_b = rng.normal(0, 3, (B, H, W, 2)).astype(np.float32)
+    pt = rng.uniform(1, 30, (B, 6, 2, 2)).astype(np.float32)
+
+    ours = np.asarray(
+        point_matching_error(jnp.asarray(pt), jnp.asarray(flow_f), jnp.asarray(flow_b))
+    )
+
+    golden = []
+    for i in range(B):
+        err = 0.0
+        for j in range(6):
+            src, dst = pt[i, j, 0], pt[i, j, 1]
+            src_t = src + flow_f[i, int(src[1]), int(src[0])]
+            e_f = np.linalg.norm(dst - src_t)
+            dst_t = dst + flow_b[i, int(dst[1]), int(dst[0])]
+            e_b = np.linalg.norm(src - dst_t)
+            err += min(e_f, e_b)
+        golden.append(err / 6)
+    np.testing.assert_allclose(ours, np.asarray(golden), atol=1e-5)
+
+
+def test_zero_flow_identity_points():
+    """With zero flow and src == dst the error is 0 (ref sanity check)."""
+    pt = np.tile(np.array([[10.0, 20.0]], np.float32), (1, 6, 2, 1)).reshape(1, 6, 2, 2)
+    z = jnp.zeros((1, 36, 64, 2))
+    err = np.asarray(point_matching_error(jnp.asarray(pt), z, z))
+    np.testing.assert_allclose(err, 0.0, atol=1e-6)
+
+
+def test_bucket_and_report():
+    errs = [1.0, 2.0, 3.0, 4.0]
+    names = ["0000011", "0000038", "0000085", "zzz_unknown"]
+    buckets = bucket_by_category(errs, names)
+    assert buckets["RE"] == [1.0] and buckets["LT"] == [2.0] and buckets["LL"] == [3.0]
+    # unknown video dropped, SF/LF empty
+    rep = category_report({**buckets, "SF": [4.0], "LF": [5.0]})
+    np.testing.assert_allclose(rep["AVG"], np.mean([1, 2, 3, 4, 5]))
+
+
+def test_bucket_seed_zero_reproduces_reference_bias():
+    buckets = bucket_by_category([2.0], ["0000011"], seed_zero=True)
+    assert buckets["RE"] == [0.0, 2.0]  # the hem_evaluate.py:79-83 quirk
+
+
+def test_category_ids_unique_membership():
+    """'0000030' appears in both RE and SF in the reference (elif order wins)."""
+    b = bucket_by_category([7.0], ["0000030"])
+    assert b["RE"] == [7.0] and b["SF"] == []

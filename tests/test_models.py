@@ -1,0 +1,221 @@
+"""Shape/behaviour tests for the UNet and Swin/estimator models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmhomo_tpu.models import (
+    ConditionalUNet,
+    EstimatorConfig,
+    HomographyEstimator,
+    SwinConfig,
+    SwinTransformer,
+    UNetConfig,
+)
+from dmhomo_tpu.models.estimator import upsample_outputs
+from dmhomo_tpu.models.swin import (
+    relative_position_index,
+    shifted_window_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+
+def _tiny_unet(num_classes=5):
+    return ConditionalUNet(UNetConfig(dim=16, num_classes=num_classes, dim_mults=(1, 2)))
+
+
+def _unet_inputs(B=2, H=32):
+    return dict(
+        x=jnp.zeros((B, H, H, 6)),
+        time=jnp.linspace(3, 500, B).astype(jnp.int32),
+        classes=jnp.zeros((B,), jnp.int32),
+        rgb_flow=jnp.zeros((B, H, H, 3)),
+        mask=jnp.ones((B, H, H, 1)),
+        keep_mask=jnp.ones((B,), bool),
+    )
+
+
+def test_unet_shapes_and_init():
+    model = _tiny_unet()
+    inp = _unet_inputs()
+    variables = model.init(jax.random.PRNGKey(0), **inp)
+    out = model.apply(variables, **inp)
+    assert out.shape == (2, 32, 32, 6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_full_config_param_count():
+    """The shipped config (dim=64, mults 1-2-4-8, 9->6ch) must exactly match
+    the reference UNet's parameter count."""
+    model = ConditionalUNet(UNetConfig(dim=64, num_classes=5))
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), **_unet_inputs(1, 256))
+    )
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables))
+    # the reference torch Unet(dim=64, mults (1,2,4,8), ch 6, classes 5)
+    # has exactly 38,417,990 parameters - structural parity check
+    assert n == 38_417_990, f"param count {n} != reference 38,417,990"
+
+
+def test_unet_null_class_embedding_changes_output():
+    model = _tiny_unet()
+    inp = _unet_inputs()
+    variables = model.init(jax.random.PRNGKey(0), **inp)
+    out_cond = model.apply(variables, **inp)
+    inp_null = dict(inp, keep_mask=jnp.zeros((2,), bool))
+    out_null = model.apply(variables, **inp_null)
+    assert np.abs(np.asarray(out_cond - out_null)).max() > 1e-6
+
+
+def test_unet_keep_mask_per_sample():
+    """Per-sample keep_mask == concatenating cond and null runs (CFG batching)."""
+    model = _tiny_unet()
+    inp = _unet_inputs()
+    variables = model.init(jax.random.PRNGKey(0), **inp)
+    mixed = dict(inp, keep_mask=jnp.asarray([True, False]))
+    out_mixed = model.apply(variables, **mixed)
+    out_cond = model.apply(variables, **inp)
+    out_null = model.apply(variables, **dict(inp, keep_mask=jnp.zeros((2,), bool)))
+    np.testing.assert_allclose(np.asarray(out_mixed[0]), np.asarray(out_cond[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_mixed[1]), np.asarray(out_null[1]), atol=1e-5)
+
+
+def test_unet_condition_channels_used():
+    model = _tiny_unet()
+    inp = _unet_inputs()
+    variables = model.init(jax.random.PRNGKey(0), **inp)
+    out0 = model.apply(variables, **inp)
+    inp2 = dict(inp, rgb_flow=jnp.ones((2, 32, 32, 3)) * 0.5)
+    out1 = model.apply(variables, **inp2)
+    assert np.abs(np.asarray(out0 - out1)).max() > 1e-6
+    # with mask == 0 the rgb_flow condition is gated off (x concat rgb*mask)
+    inp3 = dict(inp2, mask=jnp.zeros((2, 32, 32, 1)))
+    inp4 = dict(inp, mask=jnp.zeros((2, 32, 32, 1)))
+    np.testing.assert_allclose(
+        np.asarray(model.apply(variables, **inp3)),
+        np.asarray(model.apply(variables, **inp4)),
+        atol=1e-6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Swin pieces
+# ---------------------------------------------------------------------------
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 24, 3)).astype(np.float32))
+    wins = window_partition(x, 8)
+    assert wins.shape == (2 * 2 * 3, 64, 3)
+    back = window_reverse(wins, 8, 16, 24)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_matches_torch():
+    import torch
+
+    ws = 8
+    coords = torch.stack(torch.meshgrid([torch.arange(ws), torch.arange(ws)], indexing="ij"))
+    flat = torch.flatten(coords, 1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    golden = rel.sum(-1).numpy()
+    np.testing.assert_array_equal(relative_position_index(ws), golden)
+
+
+def test_shifted_window_mask_matches_torch():
+    import torch
+
+    H, W, ws, shift = 40, 72, 8, 4
+    img_mask = torch.zeros((1, H, W, 1))
+    cnt = 0
+    for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, h, w, :] = cnt
+            cnt += 1
+    mw = img_mask.view(1, H // ws, ws, W // ws, ws, 1)
+    mw = mw.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    att = mw.unsqueeze(1) - mw.unsqueeze(2)
+    golden = att.masked_fill(att != 0, -100.0).masked_fill(att == 0, 0.0).numpy()
+    np.testing.assert_allclose(shifted_window_mask(H, W, ws, shift), golden)
+
+
+def _small_swin_cfg():
+    # small but same structure; all pyramid resolutions divide the window
+    return SwinConfig(
+        crop_size=(64, 128),
+        embed_dim=8,
+        depths=(2, 2, 2),
+        layer_depth=(3, 2, 1),
+        num_heads=(2, 4, 8),
+        window_size=4,
+        mlp_ratio=2.0,
+    )
+
+
+def test_swin_forward_shapes():
+    cfg = _small_swin_cfg()
+    model = SwinTransformer(cfg)
+    x = jnp.zeros((2, 64, 128, 2))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    w = model.apply(variables, x)
+    assert w.shape == (2, 8, 1)
+    assert np.isfinite(np.asarray(w)).all()
+
+
+def test_estimator_forward_and_eval_views(rng):
+    cfg = EstimatorConfig(crop_size=(64, 128), ori_size=(72, 144), swin=_small_swin_cfg())
+    model = HomographyEstimator(cfg)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 128, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert out["flow_f"].shape == (2, 64, 128, 2)
+    assert out["mask_f"].shape == (2, 64, 128, 1)
+    m = np.asarray(out["mask_f"])
+    assert (m >= 0).all() and (m <= 1).all()
+    assert "batch_stats" in mutated
+
+    full = upsample_outputs(out, (72, 144))
+    assert full["flow_f"].shape == (2, 72, 144, 2)
+    assert full["mask_f"].shape == (2, 72, 144, 1)
+    fusion = np.asarray(full["mask_fusion"])
+    assert fusion.min() >= -1e-6 and np.isfinite(fusion).all()
+
+
+def test_estimator_swap_symmetry(rng):
+    """Backward pass = forward pass with swapped inputs (shared h_net)."""
+    cfg = EstimatorConfig(crop_size=(64, 128), swin=_small_swin_cfg())
+    model = HomographyEstimator(cfg)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 128, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    x_sw = x[..., ::-1]
+    out_sw = model.apply(variables, x_sw, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["flow_f"]), np.asarray(out_sw["flow_b"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["weight_b"]), np.asarray(out_sw["weight_f"]), atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_swin_full_config_compiles():
+    """The shipped 320x576 config initializes and runs one forward."""
+    model = HomographyEstimator(EstimatorConfig())
+    x = jnp.zeros((1, 320, 576, 2))
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(variables))
+    assert 0.5e6 < n < 20e6, f"estimator params {n/1e6:.2f}M out of range"

@@ -1,0 +1,95 @@
+"""Headline benchmark: DGM trainset-generation throughput on one TPU chip.
+
+Measures the reference's primary performance target (SURVEY.md 3.2 /
+BASELINE.md): conditional DDIM sampling at the shipped config - UNet dim=64
+@ 256^2, s_step=32, CFG scale 3 (so 64 UNet evaluations per image pair),
+bs=25 - plus the dense flow->homography fit, i.e. everything
+`trainer.sample` + `saveTrainPair` do per batch.
+
+Baseline: the reference runs this on one RTX 2080 Ti (README.md:13-14) but
+publishes no throughput number, so we derive one.  XLA cost analysis of
+this exact UNet gives 237.5 GFLOP per forward at 256^2, i.e. 64 x 237.5 =
+15.2 TFLOP per generated sample.  The reference samples in fp32 (amp=False,
+dgm_sample.py:48); a 2080 Ti peaks at 13.45 TFLOPS fp32, and granting
+PyTorch eager a generous 30% MFU on this conv/attention mix gives ~4.0
+effective TFLOPS -> 0.27 samples/s; we round UP to 0.30 samples/s
+(generous-to-baseline = conservative speedup claims).
+vs_baseline = ours / 0.30.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_2080TI_SAMPLES_PER_SEC = 0.30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dmhomo_tpu.diffusion import DiffusionConfig, GaussianDiffusion
+    from dmhomo_tpu.geometry import fit_homography_to_flow
+    from dmhomo_tpu.geometry.host import homography_to_flow_np
+    from dmhomo_tpu.data.conditions import flow_to_rgb_np
+    from dmhomo_tpu.models import ConditionalUNet, UNetConfig
+    from dmhomo_tpu.models.unet import make_unet_apply
+
+    B, S, S_STEP = 25, 256, 32
+    unet_cfg = UNetConfig(dim=64, num_classes=1, dtype=jnp.bfloat16)
+    model = ConditionalUNet(unet_cfg)
+    gd = GaussianDiffusion(
+        make_unet_apply(model),
+        DiffusionConfig(image_size=S, timesteps=1000, sampling_timesteps=S_STEP,
+                        objective="pred_x0", cond_scale=3.0),
+    )
+
+    dummy = dict(
+        x=jnp.zeros((1, S, S, 6)), time=jnp.zeros((1,), jnp.int32),
+        classes=jnp.zeros((1,), jnp.int32), rgb_flow=jnp.zeros((1, S, S, 3)),
+        mask=jnp.ones((1, S, S, 1)), keep_mask=jnp.ones((1,), bool),
+    )
+    params = model.init(jax.random.PRNGKey(0), **dummy)["params"]
+
+    # real condition content (homography flow + HSV render)
+    rng = np.random.default_rng(0)
+    d = rng.normal(0, 0.01, (3, 3)); d[2, :2] *= 1e-4; d[2, 2] = 0
+    flow_np = homography_to_flow_np(np.eye(3) + d, S, S)
+    rgb = jnp.asarray(np.broadcast_to(flow_to_rgb_np(flow_np), (B, S, S, 3)))
+    flow = jnp.asarray(np.broadcast_to(flow_np, (B, S, S, 2)))
+    mask = jnp.ones((B, S, S, 1))
+    classes = jnp.zeros((B,), jnp.int32)
+
+    @jax.jit
+    def generate(params, key):
+        imgs = gd.sample(params, key, classes, rgb, mask)
+        homos = fit_homography_to_flow(flow)
+        return imgs, homos
+
+    # warmup/compile
+    out = generate(params, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+
+    iters = 3
+    t0 = time.time()
+    for i in range(iters):
+        out = generate(params, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    samples_per_sec = B / dt
+    print(json.dumps({
+        "metric": "DGM generation samples/sec/chip (bs=25, s_step=32, CFG, 256^2, + H-fit)",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/sec",
+        "vs_baseline": round(samples_per_sec / BASELINE_2080TI_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

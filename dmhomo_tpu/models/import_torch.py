@@ -1,0 +1,360 @@
+"""PyTorch -> JAX weight importers for DGM.pt / HEM.pth checkpoints.
+
+North-star requirement (BASELINE.md): loading the reference's released
+checkpoints must reproduce its numbers.  These importers map torch
+state_dicts onto our flax pytrees:
+
+* conv weights OIHW -> HWIO; linear (O, I) -> (I, O); GroupNorm/LayerNorm
+  weight/bias -> scale/bias; (1, C, 1, 1) LayerNorm gains -> (C,).
+* DGM.pt layout: {'step','model','opt','ema','scaler','version'} where
+  'model' is a GaussianDiffusion state_dict ('model.<unet keys>' + schedule
+  buffers) and 'ema' an ema_pytorch wrapper ('ema_model.model.<unet keys>')
+  (denoising_diffusion_pytorch.py:1782-1826).
+* HEM.pth layout: {'state_dict', ...} with optional 'module.' DDP prefixes
+  (HEM/common/manager.py:202-259); OSNet keys include BatchNorm running
+  stats -> flax batch_stats collection.
+* dead reference params (patch_embed, info_flatten, PatchMerging.reduction/
+  norm, relative_position_index buffers, gen_basis buffers) are skipped.
+* the num_classes=5(train)/1(sample) embedding mismatch (demo.py:15 vs
+  dgm_sample.py:22) is handled by slicing/padding the class-embedding rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from dmhomo_tpu.models.estimator import EstimatorConfig
+from dmhomo_tpu.models.swin import SwinConfig
+from dmhomo_tpu.models.unet import UNetConfig
+
+
+def _conv(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _lin(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (1, 0))  # (O, I) -> (I, O)
+
+
+def _vec(w) -> np.ndarray:
+    return np.asarray(w).reshape(-1)
+
+
+def _np(sd: Dict) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DGM UNet
+# ---------------------------------------------------------------------------
+
+
+def import_unet_state_dict(sd: Dict, config: UNetConfig) -> Dict:
+    """Reference `Unet` state_dict -> flax params for ConditionalUNet."""
+    sd = _np(sd)
+    p: Dict = {}
+
+    def dense(dst, src):
+        p[dst] = {"kernel": _lin(sd[f"{src}.weight"]), "bias": _vec(sd[f"{src}.bias"])}
+
+    def conv(dst, src):
+        p[dst] = {"kernel": _conv(sd[f"{src}.weight"]), "bias": _vec(sd[f"{src}.bias"])}
+
+    def resblock(dst, src):
+        blk = {
+            "mlp": {"kernel": _lin(sd[f"{src}.mlp.1.weight"]), "bias": _vec(sd[f"{src}.mlp.1.bias"])},
+        }
+        for b in ("block1", "block2"):
+            blk[b] = {
+                "proj": {
+                    "kernel": _conv(sd[f"{src}.{b}.proj.weight"]),
+                    "bias": _vec(sd[f"{src}.{b}.proj.bias"]),
+                },
+                "norm": {
+                    "scale": _vec(sd[f"{src}.{b}.norm.weight"]),
+                    "bias": _vec(sd[f"{src}.{b}.norm.bias"]),
+                },
+            }
+        if f"{src}.res_conv.weight" in sd:
+            blk["res_conv"] = {
+                "kernel": _conv(sd[f"{src}.res_conv.weight"]),
+                "bias": _vec(sd[f"{src}.res_conv.bias"]),
+            }
+        p[dst] = blk
+
+    def attn(dst_wrap, dst_inner, src, full=False):
+        inner = {
+            "to_qkv": {"kernel": _conv(sd[f"{src}.fn.fn.to_qkv.weight"])},
+        }
+        if full:  # bottleneck Attention: to_out is a bare conv
+            inner["to_out"] = {
+                "kernel": _conv(sd[f"{src}.fn.fn.to_out.weight"]),
+                "bias": _vec(sd[f"{src}.fn.fn.to_out.bias"]),
+            }
+        else:  # LinearAttention: to_out = Sequential(conv, LayerNorm)
+            inner["to_out"] = {
+                "kernel": _conv(sd[f"{src}.fn.fn.to_out.0.weight"]),
+                "bias": _vec(sd[f"{src}.fn.fn.to_out.0.bias"]),
+            }
+            inner["out_norm"] = {"g": _vec(sd[f"{src}.fn.fn.to_out.1.g"])}
+        # flax binds the inner attention at the parent scope (it is
+        # constructed there and only *called* inside the wrapper)
+        p[dst_wrap] = {"norm": {"g": _vec(sd[f"{src}.fn.norm.g"])}}
+        p[dst_inner] = inner
+
+    conv("init_conv", "init_conv")
+    dense("time_mlp_0", "time_mlp.1")
+    dense("time_mlp_1", "time_mlp.3")
+    dense("classes_mlp_0", "classes_mlp.0")
+    dense("classes_mlp_1", "classes_mlp.2")
+
+    emb = np.asarray(sd["classes_emb.weight"])
+    if emb.shape[0] != config.num_classes:
+        if emb.shape[0] > config.num_classes:
+            emb = emb[: config.num_classes]
+        else:  # pad by repeating row 0 (sampling ckpts carry 1 row)
+            pad = np.tile(emb[:1], (config.num_classes - emb.shape[0], 1))
+            emb = np.concatenate([emb, pad], 0)
+    p["classes_emb"] = {"embedding": emb}
+    p["null_classes_emb"] = _vec(sd["null_classes_emb"])
+
+    n_res = len(config.dim_mults)
+    for i in range(n_res):
+        resblock(f"down_{i}_block1", f"downs.{i}.0")
+        resblock(f"down_{i}_block2", f"downs.{i}.1")
+        attn(f"down_{i}_attn_wrap", f"down_{i}_attn", f"downs.{i}.2")
+        conv(f"down_{i}_downsample", f"downs.{i}.3")
+
+    resblock("mid_block1", "mid_block1")
+    attn("mid_attn_wrap", "mid_attn", "mid_attn", full=True)
+    resblock("mid_block2", "mid_block2")
+
+    for i in range(n_res):
+        resblock(f"up_{i}_block1", f"ups.{i}.0")
+        resblock(f"up_{i}_block2", f"ups.{i}.1")
+        attn(f"up_{i}_attn_wrap", f"up_{i}_attn", f"ups.{i}.2")
+        if f"ups.{i}.3.1.weight" in sd:  # Sequential(Upsample, conv)
+            p[f"up_{i}_upsample"] = {
+                "kernel": _conv(sd[f"ups.{i}.3.1.weight"]),
+                "bias": _vec(sd[f"ups.{i}.3.1.bias"]),
+            }
+        else:  # last stage: bare conv
+            conv(f"up_{i}_upsample", f"ups.{i}.3")
+
+    resblock("final_res_block", "final_res_block")
+    conv("final_conv", "final_conv")
+    return p
+
+
+def load_dgm_checkpoint(
+    path: str, config: UNetConfig, use_ema: bool = True
+) -> Tuple[Dict, Dict]:
+    """Load a reference DGM checkpoint -> (unet_params, info).
+
+    Returns the UNet flax params (EMA weights by default, like
+    Trainer.sample) and an info dict {step, schedule buffers...}.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model_sd = _np(ckpt["model"])
+
+    prefix = "model."
+    if use_ema and ckpt.get("ema") is not None:
+        ema_sd = _np(ckpt["ema"])
+        unet_sd = {
+            k[len("ema_model.model.") :]: v
+            for k, v in ema_sd.items()
+            if k.startswith("ema_model.model.")
+        }
+        if not unet_sd:  # fall back to online weights
+            unet_sd = {k[len(prefix) :]: v for k, v in model_sd.items() if k.startswith(prefix)}
+    else:
+        unet_sd = {k[len(prefix) :]: v for k, v in model_sd.items() if k.startswith(prefix)}
+
+    params = import_unet_state_dict(unet_sd, config)
+    info = {
+        "step": int(ckpt.get("step", 0)),
+        "betas": model_sd.get("betas"),
+        "alphas_cumprod": model_sd.get("alphas_cumprod"),
+    }
+    return params, info
+
+
+# ---------------------------------------------------------------------------
+# HEM estimator
+# ---------------------------------------------------------------------------
+
+
+def _bn(sd, src):
+    params = {"scale": _vec(sd[f"{src}.weight"]), "bias": _vec(sd[f"{src}.bias"])}
+    stats = {"mean": _vec(sd[f"{src}.running_mean"]), "var": _vec(sd[f"{src}.running_var"])}
+    return params, stats
+
+
+def _ln(sd, src):
+    return {"scale": _vec(sd[f"{src}.weight"]), "bias": _vec(sd[f"{src}.bias"])}
+
+
+def _mlp(sd, src):
+    return {
+        "fc1": {"kernel": _lin(sd[f"{src}.fc1.weight"]), "bias": _vec(sd[f"{src}.fc1.bias"])},
+        "fc2": {"kernel": _lin(sd[f"{src}.fc2.weight"]), "bias": _vec(sd[f"{src}.fc2.bias"])},
+    }
+
+
+def import_estimator_state_dict(
+    sd: Dict, config: EstimatorConfig
+) -> Tuple[Dict, Dict]:
+    """Reference `OSNet` state_dict -> (flax params, batch_stats)."""
+    sd = _np(sd)
+    swin: SwinConfig = config.swin
+    p: Dict = {}
+    bs: Dict = {}
+
+    # fea_extra: Sequential conv/BN/ReLU x3 at torch indices 0,1 / 3,4 / 6,7
+    fe_p, fe_s = {}, {}
+    for i, base in enumerate([0, 3, 6]):
+        fe_p[f"conv{i}"] = {"kernel": _conv(sd[f"fea_extra.{base}.weight"])}
+        bn_p, bn_s = _bn(sd, f"fea_extra.{base + 1}")
+        fe_p[f"bn{i}"] = bn_p
+        fe_s[f"bn{i}"] = bn_s
+    p["fea_extra"] = fe_p
+    bs["fea_extra"] = fe_s
+
+    # mask_generator: conv1..conv5 are Sequential(conv, LeakyReLU) -> '.0',
+    # conv_last is Sequential(conv) -> '.0'
+    mg = {}
+    for i in range(1, 6):
+        mg[f"conv{i}"] = {
+            "kernel": _conv(sd[f"mask_generator.conv{i}.0.weight"]),
+            "bias": _vec(sd[f"mask_generator.conv{i}.0.bias"]),
+        }
+    mg["conv_last"] = {
+        "kernel": _conv(sd["mask_generator.conv_last.0.weight"]),
+        "bias": _vec(sd["mask_generator.conv_last.0.bias"]),
+    }
+    p["mask_generator"] = mg
+
+    # h_net ----------------------------------------------------------------
+    h: Dict = {}
+    hbs: Dict = {}
+    h["query_token"] = np.asarray(sd["h_net.query_token"])
+
+    fp = {}
+    for i in range(swin.num_layers):
+        fp[f"conv{i}_0"] = {
+            "kernel": _conv(sd[f"h_net.feature_pyramid_extractor.convs.{i}.0.weight"]),
+            "bias": _vec(sd[f"h_net.feature_pyramid_extractor.convs.{i}.0.bias"]),
+        }
+        fp[f"conv{i}_1"] = {
+            "kernel": _conv(sd[f"h_net.feature_pyramid_extractor.convs.{i}.2.weight"]),
+            "bias": _vec(sd[f"h_net.feature_pyramid_extractor.convs.{i}.2.bias"]),
+        }
+    h["feature_pyramid"] = fp
+
+    def swin_block(src):
+        blk = {
+            "norm1": _ln(sd, f"{src}.norm1"),
+            "norm2": _ln(sd, f"{src}.norm2"),
+            "mlp": _mlp(sd, f"{src}.mlp"),
+            "attn": {
+                "relative_position_bias_table": np.asarray(
+                    sd[f"{src}.attn.relative_position_bias_table"]
+                ),
+                "qkv": {
+                    "kernel": _lin(sd[f"{src}.attn.qkv.weight"]),
+                    "bias": _vec(sd[f"{src}.attn.qkv.bias"]),
+                },
+                "proj": {
+                    "kernel": _lin(sd[f"{src}.attn.proj.weight"]),
+                    "bias": _vec(sd[f"{src}.attn.proj.bias"]),
+                },
+            },
+        }
+        return blk
+
+    for enc in range(swin.num_layers):
+        enc_p: Dict = {}
+        enc_s: Dict = {}
+        depth = swin.depths[enc]
+        for l in range(swin.layer_depth[enc]):
+            for i in range(depth):
+                idx = l * (depth + 1) + i  # Sequential index in the reference
+                enc_p[f"sub{l}_block{i}"] = swin_block(f"h_net.encoder_layers.{enc}.layer.{idx}")
+            if l < swin.layer_depth[enc] - 1:
+                idx = l * (depth + 1) + depth
+                src = f"h_net.encoder_layers.{enc}.layer.{idx}"
+                m_p: Dict = {
+                    "conv1": {"kernel": _conv(sd[f"{src}.conv1.weight"])},
+                    "conv2": {"kernel": _conv(sd[f"{src}.conv2.weight"])},
+                }
+                m_s: Dict = {}
+                for nb in ("norm1", "norm2"):
+                    bn_p, bn_s = _bn(sd, f"{src}.{nb}")
+                    m_p[nb] = bn_p
+                    m_s[nb] = bn_s
+                enc_p[f"sub{l}_merge"] = m_p
+                enc_s[f"sub{l}_merge"] = m_s
+        h[f"encoder_{enc}"] = enc_p
+        if enc_s:
+            hbs[f"encoder_{enc}"] = enc_s
+
+    for j in range(swin.num_layers):
+        src = f"h_net.blocks_token_only.{j}"
+        h[f"token_block_{j}"] = {
+            "gamma_1": _vec(sd[f"{src}.gamma_1"]),
+            "gamma_2": _vec(sd[f"{src}.gamma_2"]),
+            "norm1": _ln(sd, f"{src}.norm1"),
+            "norm2": _ln(sd, f"{src}.norm2"),
+            "norm3": _ln(sd, f"{src}.norm3"),
+            "mlp1": _mlp(sd, f"{src}.mlp1"),
+            "mlp2": _mlp(sd, f"{src}.mlp2"),
+            "attn": {
+                name: {
+                    "kernel": _lin(sd[f"{src}.attn.{name}.weight"]),
+                    "bias": _vec(sd[f"{src}.attn.{name}.bias"]),
+                }
+                for name in ("q", "k", "v", "proj")
+            },
+        }
+
+    h["norm"] = _ln(sd, "h_net.norm")
+    h["head1"] = {"kernel": _lin(sd["h_net.head1.weight"]), "bias": _vec(sd["h_net.head1.bias"])}
+    h["head2"] = {"kernel": _lin(sd["h_net.head2.weight"]), "bias": _vec(sd["h_net.head2.bias"])}
+
+    p["h_net"] = h
+    if hbs:
+        bs["h_net"] = hbs
+    return p, bs
+
+
+def load_hem_checkpoint(path: str, config: EstimatorConfig) -> Tuple[Dict, Dict, Dict]:
+    """Load a reference HEM checkpoint -> (params, batch_stats, info).
+
+    Handles the 'module.' DDP prefix and the legacy 'HNet_state_dict' key
+    (manager.py:218-259).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    elif isinstance(ckpt, dict) and "HNet_state_dict" in ckpt:
+        sd = ckpt["HNet_state_dict"]
+    else:
+        sd = ckpt
+    sd = {k: v for k, v in sd.items()}
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module.") :] if k.startswith("module.") else k: v for k, v in sd.items()}
+    params, batch_stats = import_estimator_state_dict(sd, config)
+    info = {
+        "step": int(ckpt.get("step", 0)) if isinstance(ckpt, dict) else 0,
+        "epoch": int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0,
+    }
+    return params, batch_stats, info

@@ -58,6 +58,17 @@ class SwinConfig:
     def num_features(self) -> int:
         return int(self.embed_dim * 2 ** (self.num_layers - 1))
 
+    def __post_init__(self):
+        # every encoder stage must end at num_features channels so the
+        # class-attention query tokens see a constant width:
+        # embed_dim * 2^i * 2^(layer_depth[i]-1) == num_features
+        for i, ld in enumerate(self.layer_depth):
+            if ld != self.num_layers - i:
+                raise ValueError(
+                    f"layer_depth[{i}]={ld} must equal num_layers-{i}="
+                    f"{self.num_layers - i} so all stages end at num_features"
+                )
+
 
 # ---------------------------------------------------------------------------
 # host-precomputed constants

@@ -1,0 +1,212 @@
+"""DGM diffusion trainer: jit train step over a device mesh, EMA, checkpoints.
+
+Parity target: the accelerate `Trainer` (denoising_diffusion_pytorch.py:
+1681-2021): Adam(lr, betas=(0.9, 0.99)), grad-clip 1.0, EMA(0.995, every 10),
+grad accumulation, periodic save + sample.  TPU-native shape:
+
+* ONE jitted step - loss, grad, clip, Adam update and the EMA lerp all fuse
+  into a single XLA program; no per-step host sync, no barriers, no
+  find_unused_parameters (static graph).
+* data-parallel over a `Mesh(('data','model'))`: the batch is sharded on
+  'data', parameters replicated; the gradient all-reduce is inserted by XLA
+  because the loss is a global-batch mean (replaces DDP/NCCL).
+* gradient accumulation as a `lax.scan` over microbatches.
+* bf16 activations (params fp32) instead of the reference's (disabled) AMP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dmhomo_tpu.diffusion import GaussianDiffusion
+from dmhomo_tpu.models import ConditionalUNet
+from dmhomo_tpu.models.unet import make_unet_apply
+from dmhomo_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from dmhomo_tpu.train.config import DGMTrainConfig
+from dmhomo_tpu.train.ema import EMAState, ema_init, ema_update
+from dmhomo_tpu.utils import get_logger, load_checkpoint, save_checkpoint
+
+
+class DGMTrainer:
+    def __init__(self, config: DGMTrainConfig, mesh=None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        unet_cfg = config.unet
+        if config.bf16 and unet_cfg.dtype != jnp.bfloat16:
+            import dataclasses
+
+            unet_cfg = dataclasses.replace(unet_cfg, dtype=jnp.bfloat16)
+        self.model = ConditionalUNet(unet_cfg)
+        self.gd = GaussianDiffusion(make_unet_apply(self.model), config.diffusion)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip_norm),
+            optax.adam(config.lr, b1=config.adam_b1, b2=config.adam_b2),
+        )
+        self.logger = get_logger("dgm")
+        self._train_step = self._build_train_step()
+        self._sample = None
+        self.state = None
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None):
+        cfg = self.config
+        seed = cfg.seed if seed is None else seed
+        S = cfg.diffusion.image_size
+        dummy = dict(
+            x=jnp.zeros((1, S, S, 6)),
+            time=jnp.zeros((1,), jnp.int32),
+            classes=jnp.zeros((1,), jnp.int32),
+            rgb_flow=jnp.zeros((1, S, S, 3)),
+            mask=jnp.ones((1, S, S, 1)),
+            keep_mask=jnp.ones((1,), bool),
+        )
+        params = self.model.init(jax.random.PRNGKey(seed), **dummy)["params"]
+        state = {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "ema": ema_init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        rep = replicated(self.mesh)
+        self.state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+        return self.state
+
+    # -- step ---------------------------------------------------------------
+
+    def _build_train_step(self):
+        cfg = self.config
+        accum = cfg.gradient_accumulate_every
+
+        def loss_fn(params, key, batch_img, classes):
+            return self.gd.loss(params, key, batch_img, classes, train=True)
+
+        def step_fn(state, batch_img, classes, key):
+            params = state["params"]
+            if accum == 1:
+                loss, grads = jax.value_and_grad(loss_fn)(params, key, batch_img, classes)
+            else:
+                B = batch_img.shape[0]
+                mb = B // accum
+                bi = batch_img[: mb * accum].reshape(accum, mb, *batch_img.shape[1:])
+                cl = classes[: mb * accum].reshape(accum, mb)
+                keys = jax.random.split(key, accum)
+
+                def micro(carry, inp):
+                    b, c, k = inp
+                    l, g = jax.value_and_grad(loss_fn)(params, k, b, c)
+                    loss_acc, grad_acc = carry
+                    return (loss_acc + l, jax.tree.map(jnp.add, grad_acc, g)), None
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (loss, grads), _ = jax.lax.scan(micro, (0.0, zero), (bi, cl, keys))
+                loss = loss / accum
+                grads = jax.tree.map(lambda g: g / accum, grads)
+
+            updates, opt_state = self.tx.update(grads, state["opt_state"], params)
+            params = optax.apply_updates(params, updates)
+            ema = ema_update(
+                state["ema"], params, beta=cfg.ema_beta, update_every=cfg.ema_update_every
+            )
+            new_state = {
+                "params": params,
+                "opt_state": opt_state,
+                "ema": ema,
+                "step": state["step"] + 1,
+            }
+            return new_state, loss
+
+        data_sh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, data_sh, data_sh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
+    def train_step(self, batch_img: np.ndarray, classes: np.ndarray, key):
+        """One optimizer step on a (B, S, S, 12) condition batch."""
+        batch = shard_batch(
+            {"img": jnp.asarray(batch_img), "cls": jnp.asarray(classes, jnp.int32)},
+            self.mesh,
+        )
+        self.state, loss = self._train_step(self.state, batch["img"], batch["cls"], key)
+        return loss
+
+    # -- train loop ---------------------------------------------------------
+
+    def train(
+        self,
+        batches: Iterator,
+        num_steps: Optional[int] = None,
+        save_every: Optional[int] = None,
+        log_every: int = 50,
+        on_milestone=None,
+    ):
+        cfg = self.config
+        num_steps = num_steps or cfg.train_num_steps
+        save_every = save_every or cfg.save_every
+        if self.state is None:
+            self.init_state()
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        start = int(jax.device_get(self.state["step"]))
+        losses = []
+        for step in range(start, num_steps):
+            batch_img, classes = next(batches)
+            key, sub = jax.random.split(key)
+            loss = self.train_step(batch_img, classes, sub)
+            losses.append(loss)
+            if (step + 1) % log_every == 0:
+                loss_val = float(jax.device_get(losses[-1]))
+                self.logger.info(f"step {step + 1}/{num_steps} loss {loss_val:.4f}")
+                losses.clear()
+            if (step + 1) % save_every == 0:
+                self.save()
+                if on_milestone is not None:
+                    on_milestone(self, step + 1)
+        return self.state
+
+    # -- sampling -----------------------------------------------------------
+
+    def sample(self, key, classes, rgb_flow, mask, use_ema: bool = True, cond_scale=None):
+        """jit-cached DDIM sampling with the EMA (or online) weights."""
+        if self._sample is None:
+            self._sample = jax.jit(
+                lambda p, k, c, rf, m: self.gd.sample(p, k, c, rf, m, cond_scale=cond_scale)
+            )
+        params = self.state["ema"].params if use_ema else self.state["params"]
+        return self._sample(
+            params,
+            key,
+            jnp.asarray(classes, jnp.int32),
+            jnp.asarray(rgb_flow),
+            jnp.asarray(mask),
+        )
+
+    # -- checkpoints --------------------------------------------------------
+
+    def save(self, root: Optional[str] = None):
+        root = root or self.config.results_dir
+        step = int(jax.device_get(self.state["step"]))
+        host_state = jax.device_get(self.state)
+        path = save_checkpoint(root, step, host_state)
+        self.logger.info(f"saved checkpoint at step {step}: {path}")
+        return path
+
+    def load(self, root: Optional[str] = None, step: Optional[int] = None):
+        root = root or self.config.results_dir
+        if self.state is None:
+            self.init_state()
+        target = jax.device_get(self.state)
+        restored = load_checkpoint(root, step=step, target=target)
+        rep = replicated(self.mesh)
+        self.state = jax.tree.map(lambda x: jax.device_put(x, rep), restored)
+        self.logger.info(f"restored step {int(jax.device_get(self.state['step']))}")
+        return self.state

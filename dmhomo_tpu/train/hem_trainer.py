@@ -1,0 +1,222 @@
+"""HEM estimator trainer: two-stage schedule, mesh data-parallel, eval loop.
+
+Parity target: HEM/train.py + common/manager.py: Adam + ExponentialLR(0.8)
+stepped once per epoch-equivalent, loss from `compute_losses` under the
+stage's weights, eval every `train_num_steps` with best-checkpoint tracking
+on the AVG point error.  TPU-native shape mirrors DGMTrainer: one jitted
+step (loss+grad+Adam+BN-stats) over the ('data','model') mesh; separate
+static-shape jitted program for the full-resolution eval forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dmhomo_tpu.evaluation import bucket_by_category, category_report, point_matching_error
+from dmhomo_tpu.losses import compute_losses
+from dmhomo_tpu.models import HomographyEstimator
+from dmhomo_tpu.models.estimator import upsample_outputs
+from dmhomo_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from dmhomo_tpu.train.config import HEMTrainConfig
+from dmhomo_tpu.utils import MetricTracker, get_logger, load_checkpoint, save_checkpoint
+
+
+class HEMTrainer:
+    def __init__(self, config: HEMTrainConfig, mesh=None, steps_per_epoch: Optional[int] = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = HomographyEstimator(config.estimator)
+        # ExponentialLR(gamma) stepped per epoch == staircase exp decay
+        self.steps_per_epoch = steps_per_epoch or config.train_num_steps
+        schedule = optax.exponential_decay(
+            init_value=config.lr,
+            transition_steps=self.steps_per_epoch,
+            decay_rate=config.gamma,
+            staircase=True,
+        )
+        self.tx = optax.adam(schedule)
+        self.logger = get_logger("hem")
+        self.metrics = MetricTracker(config.major_metric)
+        self._train_step = self._build_train_step()
+        self._eval_forward = None
+        self.state = None
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None):
+        cfg = self.config
+        seed = cfg.seed if seed is None else seed
+        ph, pw = cfg.estimator.crop_size
+        dummy = jnp.zeros((1, ph, pw, 2))
+        variables = self.model.init(jax.random.PRNGKey(seed), dummy, train=False)
+        state = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "opt_state": self.tx.init(variables["params"]),
+            "step": jnp.zeros((), jnp.int32),
+            "epoch": jnp.zeros((), jnp.int32),
+        }
+        rep = replicated(self.mesh)
+        self.state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+        return self.state
+
+    # -- train step ---------------------------------------------------------
+
+    def _build_train_step(self):
+        cfg = self.config
+
+        def loss_fn(params, batch_stats, batch):
+            outputs, mutated = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["imgs_gray_patch"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            losses = compute_losses(batch, outputs, cfg.loss)
+            return losses["total"], (losses, mutated["batch_stats"])
+
+        def step_fn(state, batch):
+            (total, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state["params"], state["batch_stats"], batch)
+            updates, opt_state = self.tx.update(grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            new_state = {
+                "params": params,
+                "batch_stats": new_stats,
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+                "epoch": state["epoch"],
+            }
+            scalars = {k: v for k, v in losses.items()}
+            return new_state, scalars
+
+        data_sh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, data_sh),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
+    def train_step(self, batch: dict):
+        device_batch = shard_batch(
+            {
+                "imgs_gray_patch": jnp.asarray(batch["imgs_gray_patch"]),
+                "flow_gt_patch": jnp.asarray(batch["flow_gt_patch"]),
+            },
+            self.mesh,
+        )
+        self.state, losses = self._train_step(self.state, device_batch)
+        return losses
+
+    # -- eval ---------------------------------------------------------------
+
+    def _build_eval_forward(self, full_hw):
+        def fwd(params, batch_stats, imgs_gray_patch, pt_set):
+            outputs = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs_gray_patch,
+                train=False,
+            )
+            full = upsample_outputs(outputs, full_hw)
+            return point_matching_error(pt_set, full["flow_f"], full["flow_b"])
+
+        data_sh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(fwd, in_shardings=(rep, rep, data_sh, data_sh), out_shardings=data_sh)
+
+    def evaluate(self, eval_batches: Iterator, split: str = "val") -> dict:
+        """Point-matching error per category over the CAHomo-format loader."""
+        cfg = self.config
+        if self._eval_forward is None:
+            self._eval_forward = self._build_eval_forward(cfg.estimator.ori_size)
+        self.metrics.reset(split)
+        errs, names = [], []
+        for batch in eval_batches:
+            e = self._eval_forward(
+                self.state["params"],
+                self.state["batch_stats"],
+                jnp.asarray(batch["imgs_gray_patch"]),
+                jnp.asarray(batch["pt_set"]),
+            )
+            errs.extend(np.asarray(jax.device_get(e)).tolist())
+            names.extend(batch["video_names"])
+        buckets = bucket_by_category(errs, names)
+        report = category_report(buckets)
+        self.metrics.update(split, report)
+        self.logger.info(
+            f"[{split}] " + " ".join(f"{k}:{v:.4f}" for k, v in report.items())
+        )
+        return report
+
+    # -- loop ---------------------------------------------------------------
+
+    def train_and_evaluate(
+        self,
+        train_batches: Iterator,
+        eval_loader=None,
+        total_steps: Optional[int] = None,
+        log_every: int = 100,
+    ):
+        cfg = self.config
+        if self.state is None:
+            self.init_state()
+        total_steps = total_steps or cfg.num_epochs * self.steps_per_epoch
+        start = int(jax.device_get(self.state["step"]))
+        best_report = None
+        for step in range(start, total_steps):
+            batch = next(train_batches)
+            losses = self.train_step(batch)
+            if (step + 1) % log_every == 0:
+                ls = {k: float(jax.device_get(v)) for k, v in losses.items()}
+                self.logger.info(
+                    f"step {step + 1}/{total_steps} " +
+                    " ".join(f"{k}:{v:.4f}" for k, v in ls.items())
+                )
+            if eval_loader is not None and (step + 1) % cfg.train_num_steps == 0:
+                report = self.evaluate(iter(eval_loader))
+                is_best = self.metrics.is_best("val")
+                self.save(tag="latest")
+                if is_best:
+                    best_report = report
+                    self.save(tag="best")
+        return best_report
+
+    # -- checkpoints --------------------------------------------------------
+
+    def save(self, root: Optional[str] = None, tag: str = "latest"):
+        root = root or self.config.model_dir
+        step = int(jax.device_get(self.state["step"]))
+        host_state = jax.device_get(self.state)
+        # best/latest live in separate subdirs, like model_latest.pth vs
+        # val_model_best_*.pth (manager.py:128-200)
+        return save_checkpoint(f"{root}/{tag}", step, host_state, keep=2)
+
+    def load(self, root: Optional[str] = None, tag: str = "latest", step=None):
+        root = root or self.config.model_dir
+        if self.state is None:
+            self.init_state()
+        target = jax.device_get(self.state)
+        restored = load_checkpoint(f"{root}/{tag}", step=step, target=target)
+        rep = replicated(self.mesh)
+        self.state = jax.tree.map(lambda x: jax.device_put(x, rep), restored)
+        return self.state
+
+    def load_params(self, params, batch_stats=None):
+        """Inject externally-imported weights (e.g. from HEM.pth)."""
+        if self.state is None:
+            self.init_state()
+        rep = replicated(self.mesh)
+        self.state["params"] = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), rep), params)
+        if batch_stats is not None:
+            self.state["batch_stats"] = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), rep), batch_stats
+            )

@@ -1,0 +1,14 @@
+"""Shared utilities: checkpointing, logging, meters."""
+
+from dmhomo_tpu.utils.checkpoint import save_checkpoint, load_checkpoint, latest_step
+from dmhomo_tpu.utils.meters import AverageMeter, MetricTracker
+from dmhomo_tpu.utils.logging import get_logger
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_step",
+    "AverageMeter",
+    "MetricTracker",
+    "get_logger",
+]

@@ -1,0 +1,207 @@
+"""Weight-importer parity: random-init reference models, imported into flax,
+must produce numerically matching forwards.  This is the harness that
+guarantees DGM.pt / HEM.pth reproduce reference numbers (SURVEY.md section 4 /
+BASELINE.md north star).  Guarded on the reference being mounted."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dmhomo_tpu.models import (
+    ConditionalUNet,
+    EstimatorConfig,
+    HomographyEstimator,
+    SwinConfig,
+    UNetConfig,
+)
+from dmhomo_tpu.models.import_torch import (
+    import_estimator_state_dict,
+    import_unet_state_dict,
+)
+
+from reference_oracle import (
+    make_reference_osnet,
+    make_reference_unet,
+    reference_available,
+)
+
+needs_ref = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+
+
+def _tree_shapes(tree):
+    return {
+        "/".join(str(k.key) for k in path): leaf.shape
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+@needs_ref
+def test_unet_import_forward_parity():
+    torch.manual_seed(0)
+    ref = make_reference_unet(num_classes=5)
+    ref.eval()
+    sd = ref.state_dict()
+
+    cfg = UNetConfig(dim=64, num_classes=5)
+    model = ConditionalUNet(cfg)
+    params = import_unet_state_dict(sd, cfg)
+
+    # structure: imported tree must exactly match an init tree
+    B, S = 2, 64
+    inp = dict(
+        x=jnp.zeros((B, S, S, 6)),
+        time=jnp.asarray([7, 531]),
+        classes=jnp.asarray([1, 3], jnp.int32),
+        rgb_flow=jnp.zeros((B, S, S, 3)),
+        mask=jnp.ones((B, S, S, 1)),
+        keep_mask=jnp.ones((B,), bool),
+    )
+    ref_tree = _tree_shapes(model.init(jax.random.PRNGKey(0), **inp)["params"])
+    got_tree = _tree_shapes(params)
+    assert ref_tree == got_tree
+
+    # forward parity on random input
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (B, S, S, 6)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+    mask = rng.uniform(0, 1, (B, S, S, 1)).astype(np.float32)
+    t = np.asarray([7, 531])
+    classes = np.asarray([1, 3])
+
+    ours = model.apply(
+        {"params": params},
+        jnp.asarray(x), jnp.asarray(t), jnp.asarray(classes),
+        jnp.asarray(rgb), jnp.asarray(mask), jnp.ones((B,), bool),
+    )
+
+    with torch.no_grad():
+        golden = ref(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(t),
+            torch.from_numpy(classes),
+            torch.from_numpy(rgb).permute(0, 3, 1, 2),
+            torch.from_numpy(mask).permute(0, 3, 1, 2),
+            cond_drop_prob=0.0,
+        )
+    golden = golden.permute(0, 2, 3, 1).numpy()
+    err = np.abs(np.asarray(ours) - golden).max()
+    assert err < 5e-3, f"UNet forward mismatch {err}"
+
+
+@needs_ref
+def test_unet_null_embedding_parity():
+    """cond_drop_prob=1 (all null) must also match."""
+    torch.manual_seed(1)
+    ref = make_reference_unet(num_classes=5)
+    ref.eval()
+    cfg = UNetConfig(dim=64, num_classes=5)
+    model = ConditionalUNet(cfg)
+    params = import_unet_state_dict(ref.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    B, S = 1, 64
+    x = rng.normal(0, 1, (B, S, S, 6)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+    mask = np.ones((B, S, S, 1), np.float32)
+    t = np.asarray([100])
+    classes = np.asarray([2])
+
+    ours = model.apply(
+        {"params": params},
+        jnp.asarray(x), jnp.asarray(t), jnp.asarray(classes),
+        jnp.asarray(rgb), jnp.asarray(mask), jnp.zeros((B,), bool),
+    )
+    with torch.no_grad():
+        golden = ref(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(t),
+            torch.from_numpy(classes), torch.from_numpy(rgb).permute(0, 3, 1, 2),
+            torch.from_numpy(mask).permute(0, 3, 1, 2), cond_drop_prob=1.0,
+        )
+    err = np.abs(np.asarray(ours) - golden.permute(0, 2, 3, 1).numpy()).max()
+    assert err < 5e-3, f"null-class forward mismatch {err}"
+
+
+@needs_ref
+def test_estimator_import_forward_parity():
+    torch.manual_seed(2)
+    crop = (64, 128)
+    ref = make_reference_osnet(crop_size=crop)
+    ref.eval()
+    sd = ref.state_dict()
+
+    cfg = EstimatorConfig(
+        crop_size=crop,
+        ori_size=(72, 144),
+        swin=SwinConfig(crop_size=crop),
+    )
+    model = HomographyEstimator(cfg)
+    params, batch_stats = import_estimator_state_dict(sd, cfg)
+
+    # tree structure parity with an init tree
+    x0 = jnp.zeros((1, *crop, 2))
+    init_vars = model.init(jax.random.PRNGKey(0), x0, train=False)
+    assert _tree_shapes(init_vars["params"]) == _tree_shapes(params)
+    assert _tree_shapes(init_vars.get("batch_stats", {})) == _tree_shapes(batch_stats)
+
+    rng = np.random.default_rng(2)
+    patch = rng.normal(0, 1, (2, *crop, 2)).astype(np.float32)
+
+    ours = model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(patch), train=False
+    )
+
+    t_patch = torch.from_numpy(patch).permute(0, 3, 1, 2)
+    data_batch = {
+        "imgs_gray_patch": t_patch,
+        "imgs_gray_full": t_patch,  # full==patch keeps the eval branch trivial
+        "imgs_rgb_full": torch.zeros(2, 6, *crop),
+        "ganhomo_mask": torch.ones(2, 1, *crop),
+    }
+    with torch.no_grad():
+        golden = ref(data_batch, step=1)
+
+    # reference eval branch upsamples flows to 'full' (same size here) and
+    # permutes BHWC - directly comparable with ours after upsample_outputs
+    from dmhomo_tpu.models.estimator import upsample_outputs
+
+    ours_full = upsample_outputs(ours, crop)
+
+    for ok, tk, pick in [
+        ("flow_f", "flow_f", lambda t: t.numpy()),
+        ("flow_b", "flow_b", lambda t: t.numpy()),
+        ("mask_f", "mask_f", lambda t: t.permute(0, 2, 3, 1).numpy()),
+        ("mask_b", "mask_b", lambda t: t.permute(0, 2, 3, 1).numpy()),
+    ]:
+        g = pick(golden[tk])
+        o = np.asarray(ours_full[ok])
+        err = np.abs(o - g).max()
+        assert err < 5e-3, f"{ok} mismatch {err}"
+
+
+@needs_ref
+def test_estimator_weight_parity():
+    """The raw 8 basis weights (pre-flow) must match tightly."""
+    torch.manual_seed(3)
+    crop = (64, 128)
+    ref = make_reference_osnet(crop_size=crop)
+    ref.eval()
+    cfg = EstimatorConfig(crop_size=crop, swin=SwinConfig(crop_size=crop))
+    model = HomographyEstimator(cfg)
+    params, batch_stats = import_estimator_state_dict(ref.state_dict(), cfg)
+
+    rng = np.random.default_rng(3)
+    patch = rng.normal(0, 1, (1, *crop, 2)).astype(np.float32)
+    ours = model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(patch), train=False
+    )
+
+    t_patch = torch.from_numpy(patch).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        f1 = ref.fea_extra(t_patch[:, :1])
+        f2 = ref.fea_extra(t_patch[:, 1:])
+        w_f = ref.h_net(torch.cat([f1, f2], 1))
+    err = np.abs(np.asarray(ours["weight_f"]) - w_f.numpy()).max()
+    assert err < 1e-3, f"basis weight mismatch {err}"

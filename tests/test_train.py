@@ -1,0 +1,249 @@
+"""Trainer tests on the 8-fake-device CPU mesh: EMA golden vs ema_pytorch
+semantics, DGM/HEM train steps, sharding, checkpoint round-trips."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmhomo_tpu.diffusion import DiffusionConfig
+from dmhomo_tpu.models import EstimatorConfig, SwinConfig, UNetConfig
+from dmhomo_tpu.parallel import make_mesh
+from dmhomo_tpu.train.config import DGMTrainConfig, HEMTrainConfig, Params
+from dmhomo_tpu.train.dgm_trainer import DGMTrainer
+from dmhomo_tpu.train.ema import ema_init, ema_update
+from dmhomo_tpu.train.hem_trainer import HEMTrainer
+from dmhomo_tpu.losses import LossWeights
+
+
+# ---------------------------------------------------------------------------
+# EMA
+# ---------------------------------------------------------------------------
+
+
+def _torch_ema_decay(step, beta=0.995, update_after_step=100, inv_gamma=1.0, power=2 / 3):
+    epoch = max(step - update_after_step - 1, 0)
+    if epoch <= 0:
+        return 0.0
+    return min(max(1 - (1 + epoch / inv_gamma) ** -power, 0.0), beta)
+
+
+def test_ema_matches_ema_pytorch_semantics():
+    params = {"w": jnp.ones((4,))}
+    state = ema_init(params)
+    golden = np.ones(4)
+    online = np.ones(4)
+    for i in range(1, 301):
+        online = online * 0.0 + i  # online weights change each step
+        state = ema_update(state, {"w": jnp.full((4,), float(i))})
+        if i % 10 == 0:  # update_every
+            d = _torch_ema_decay(i)
+            golden = golden * d + i * (1 - d)
+    np.testing.assert_allclose(np.asarray(state.params["w"]), golden, rtol=1e-5)
+
+
+def test_ema_no_update_between_intervals():
+    state = ema_init({"w": jnp.zeros(2)})
+    s1 = ema_update(state, {"w": jnp.ones(2)})
+    # step 1: not a multiple of 10 -> unchanged
+    np.testing.assert_allclose(np.asarray(s1.params["w"]), 0.0)
+    assert int(s1.step) == 1
+
+
+# ---------------------------------------------------------------------------
+# DGM trainer
+# ---------------------------------------------------------------------------
+
+
+def _tiny_dgm_config(**kw):
+    return DGMTrainConfig(
+        unet=UNetConfig(dim=8, num_classes=2, dim_mults=(1, 2)),
+        diffusion=DiffusionConfig(image_size=16, timesteps=50, sampling_timesteps=4),
+        train_batch_size=8,
+        lr=1e-3,
+        bf16=False,
+        **kw,
+    )
+
+
+def _cond_batch(B=8, S=16, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 1, (B, S, S, 12)).astype(np.float32)
+    cls = rng.integers(0, 2, (B,)).astype(np.int32)
+    return img, cls
+
+
+def test_dgm_train_step_runs_and_loss_decreases():
+    trainer = DGMTrainer(_tiny_dgm_config(), mesh=make_mesh())
+    trainer.init_state()
+    assert trainer.mesh.shape["data"] == 8
+    img, cls = _cond_batch()
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        losses.append(float(jax.device_get(trainer.train_step(img, cls, sub))))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    assert int(jax.device_get(trainer.state["step"])) == 30
+
+
+def test_dgm_grad_accumulation_equivalence():
+    """accum=2 on batch 2B ~= averaged loss of the two half-batches."""
+    cfg1 = _tiny_dgm_config(gradient_accumulate_every=2)
+    trainer = DGMTrainer(cfg1, mesh=make_mesh())
+    trainer.init_state()
+    img, cls = _cond_batch(B=16)
+    loss = float(jax.device_get(trainer.train_step(img, cls, jax.random.PRNGKey(0))))
+    assert np.isfinite(loss)
+
+
+def test_dgm_sampling_from_trainer():
+    trainer = DGMTrainer(_tiny_dgm_config(), mesh=make_mesh())
+    trainer.init_state()
+    B, S = 8, 16
+    out = trainer.sample(
+        jax.random.PRNGKey(1),
+        np.zeros((B,), np.int32),
+        np.zeros((B, S, S, 3), np.float32),
+        np.ones((B, S, S, 1), np.float32),
+    )
+    out = np.asarray(jax.device_get(out))
+    assert out.shape == (B, S, S, 6) and np.isfinite(out).all()
+
+
+def test_dgm_checkpoint_roundtrip(tmp_path):
+    cfg = dataclasses.replace(_tiny_dgm_config(), results_dir=str(tmp_path / "ckpt"))
+    trainer = DGMTrainer(cfg, mesh=make_mesh())
+    trainer.init_state()
+    img, cls = _cond_batch()
+    for i in range(3):
+        trainer.train_step(img, cls, jax.random.PRNGKey(i))
+    trainer.save()
+
+    trainer2 = DGMTrainer(cfg, mesh=make_mesh())
+    trainer2.init_state()
+    trainer2.load()
+    assert int(jax.device_get(trainer2.state["step"])) == 3
+    l1 = jax.tree.leaves(jax.device_get(trainer.state["params"]))
+    l2 = jax.tree.leaves(jax.device_get(trainer2.state["params"]))
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# HEM trainer
+# ---------------------------------------------------------------------------
+
+
+def _tiny_hem_config(**kw):
+    swin = SwinConfig(
+        crop_size=(32, 64), embed_dim=8, depths=(1, 1, 1), layer_depth=(3, 2, 1),
+        num_heads=(2, 2, 4), window_size=4, mlp_ratio=2.0,
+    )
+    est = EstimatorConfig(crop_size=(32, 64), ori_size=(40, 72), swin=swin)
+    kw.setdefault("estimator", est)
+    kw.setdefault("train_batch_size", 8)
+    kw.setdefault("train_num_steps", 5)
+    return HEMTrainConfig(**kw)
+
+
+def _hem_batch(B=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "imgs_gray_patch": rng.normal(0, 1, (B, 32, 64, 2)).astype(np.float32),
+        "flow_gt_patch": rng.normal(0, 1, (B, 32, 64, 4)).astype(np.float32),
+    }
+
+
+def test_hem_train_step_stage1():
+    trainer = HEMTrainer(_tiny_hem_config(), mesh=make_mesh(), steps_per_epoch=10)
+    trainer.init_state()
+    losses = trainer.train_step(_hem_batch())
+    vals = {k: float(jax.device_get(v)) for k, v in losses.items()}
+    assert np.isfinite(vals["total"])
+    assert vals["supervise"] == 0.0  # stage-1: nll only
+    assert vals["total"] == pytest.approx(vals["nll"], rel=1e-5)
+
+
+def test_hem_train_step_stage2_weights():
+    cfg = _tiny_hem_config(loss=LossWeights(sup=1.0, nll=1.0))
+    trainer = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=10)
+    trainer.init_state()
+    losses = trainer.train_step(_hem_batch())
+    vals = {k: float(jax.device_get(v)) for k, v in losses.items()}
+    assert vals["supervise"] > 0.0
+    assert vals["total"] == pytest.approx(vals["supervise"] + vals["nll"], rel=1e-5)
+
+
+def test_hem_eval_pipeline():
+    trainer = HEMTrainer(_tiny_hem_config(), mesh=make_mesh(), steps_per_epoch=10)
+    trainer.init_state()
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "imgs_gray_patch": rng.normal(0, 1, (8, 32, 64, 2)).astype(np.float32),
+            "pt_set": rng.uniform(2, 30, (8, 6, 2, 2)).astype(np.float32),
+            "video_names": ["0000011"] * 4 + ["0000038"] * 2 + ["0000085", "00000244"],
+        }
+    ]
+    report = trainer.evaluate(iter(batches))
+    assert set(report) == {"RE", "LT", "LL", "SF", "LF", "AVG"}
+    assert np.isfinite(report["RE"])
+
+
+def test_hem_checkpoint_and_best_tracking(tmp_path):
+    cfg = _tiny_hem_config(model_dir=str(tmp_path / "hem"))
+    trainer = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=10)
+    trainer.init_state()
+    trainer.train_step(_hem_batch())
+    trainer.save(tag="latest")
+    trainer2 = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=10)
+    trainer2.load(tag="latest")
+    assert int(jax.device_get(trainer2.state["step"])) == 1
+
+    assert trainer.metrics.is_best("val", 1.0)
+    assert not trainer.metrics.is_best("val", 2.0)
+    assert trainer.metrics.is_best("val", 0.5)
+
+
+def test_hem_lr_schedule_staircase():
+    cfg = _tiny_hem_config()
+    trainer = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=3)
+    sched = trainer.tx  # optax.adam(schedule) - check effective lr values
+    import optax
+
+    schedule = optax.exponential_decay(cfg.lr, 3, cfg.gamma, staircase=True)
+    assert schedule(0) == pytest.approx(cfg.lr)
+    assert schedule(2) == pytest.approx(cfg.lr)
+    assert schedule(3) == pytest.approx(cfg.lr * cfg.gamma)
+    assert schedule(7) == pytest.approx(cfg.lr * cfg.gamma**2)
+
+
+def test_params_json_roundtrip(tmp_path):
+    p = Params(sup_loss_weight=1.0, crop_size=[32, 64], learning_rate=2e-4)
+    path = str(tmp_path / "params.json")
+    p.save(path)
+    q = Params(path)
+    assert q.sup_loss_weight == 1.0 and q.crop_size == [32, 64]
+    cfg = HEMTrainConfig.from_params(q)
+    assert cfg.loss.sup == 1.0
+    assert cfg.lr == 2e-4
+    assert cfg.estimator.crop_size == (32, 64)
+
+
+def test_reference_params_json_loads():
+    """The shipped reference params.json must map onto our config cleanly."""
+    import os
+
+    ref = "/root/reference/HEM/experiments/params.json"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    cfg = HEMTrainConfig.from_params(Params(ref))
+    assert cfg.estimator.swin.embed_dim == 24
+    assert cfg.estimator.swin.depths == (2, 4, 6)
+    assert cfg.loss.nll == 1 and cfg.loss.sup == 0
+    cfg2 = HEMTrainConfig.from_params(Params("/root/reference/HEM/experiments/stage2/params.json"))
+    assert cfg2.loss.sup == 1

@@ -334,6 +334,60 @@ def import_estimator_state_dict(
     return p, bs
 
 
+def import_baseshomo_state_dict(sd: Dict, config=None) -> Tuple[Dict, Dict]:
+    """Reference `Net` (BasesHomo) state_dict -> (flax params, batch_stats)."""
+    from dmhomo_tpu.models.baseshomo import BasesHomoConfig
+
+    config = config or BasesHomoConfig()
+    sd = _np(sd)
+    p: Dict = {}
+    bs: Dict = {}
+
+    sf_p, sf_s = {}, {}
+    for i, base in enumerate([0, 3, 6]):
+        sf_p[f"conv{i}"] = {"kernel": _conv(sd[f"share_feature.layers.{base}.weight"])}
+        bn_p, bn_s = _bn(sd, f"share_feature.layers.{base + 1}")
+        sf_p[f"bn{i}"] = bn_p
+        sf_s[f"bn{i}"] = bn_s
+    p["share_feature"] = sf_p
+    bs["share_feature"] = sf_s
+
+    p["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    p["bn1"], bs["bn1"] = _bn(sd, "bn1")
+
+    for li, n_blocks in enumerate(config.layers):
+        for bi in range(n_blocks):
+            src = f"layer{li + 1}.{bi}"
+            dst = f"layer{li + 1}_block{bi}"
+            bp: Dict = {
+                "conv1": {"kernel": _conv(sd[f"{src}.conv1.weight"])},
+                "conv2": {"kernel": _conv(sd[f"{src}.conv2.weight"])},
+            }
+            bsd: Dict = {}
+            bp["bn1"], bsd["bn1"] = _bn(sd, f"{src}.bn1")
+            bp["bn2"], bsd["bn2"] = _bn(sd, f"{src}.bn2")
+            if f"{src}.downsample.0.weight" in sd:
+                bp["down_conv"] = {"kernel": _conv(sd[f"{src}.downsample.0.weight"])}
+                bp["down_bn"], bsd["down_bn"] = _bn(sd, f"{src}.downsample.1")
+            p[dst] = bp
+            bs[dst] = bsd
+
+    for name in ("sp_layer3", "sp_layer4"):
+        blk_p: Dict = {}
+        blk_s: Dict = {}
+        for ci in range(3):
+            blk_p[f"conv{ci}"] = {
+                "kernel": _conv(sd[f"{name}.Block.conv{ci}.0.weight"]),
+                "bias": _vec(sd[f"{name}.Block.conv{ci}.0.bias"]),
+            }
+            blk_p[f"bn{ci}"], blk_s[f"bn{ci}"] = _bn(sd, f"{name}.Block.bn{ci}")
+        p[name] = {"block": blk_p}
+        bs[name] = {"block": blk_s}
+
+    p["conv_last"] = {"kernel": _conv(sd["conv_last.weight"])}
+    return p, bs
+
+
 def load_hem_checkpoint(path: str, config: EstimatorConfig) -> Tuple[Dict, Dict, Dict]:
     """Load a reference HEM checkpoint -> (params, batch_stats, info).
 

@@ -143,29 +143,48 @@ class ResnetBlock(nn.Module):
         return h + x
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder (keeps the to_qkv/kernel tree path
+    of nn.Conv so torch importers stay oblivious to the fused attention)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
+
+
 class LinearAttention(nn.Module):
-    """Efficient attention: softmax(q over d) . (softmax(k over n) v^T)."""
+    """Efficient attention: softmax(q over d) . (softmax(k over n) v^T).
+
+    The qkv projection + softmaxes + contraction run through the fused
+    Pallas kernel on TPU (dmhomo_tpu.ops.linear_attention), falling back to
+    the identical jnp formulation on CPU / ragged shapes.
+    """
 
     dim: int
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
+        from dmhomo_tpu.ops.linear_attention import (
+            _ref_linear_attention,
+            fused_linear_attention,
+        )
+
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+        w_qkv = _ConvKernel((1, 1, C, hidden * 3), name="to_qkv")().reshape(C, hidden * 3)
 
-        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)  # over d
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)  # over n
-        q = q * (self.dim_head**-0.5)
-        v = v / (H * W)
-
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)  # (B, h, d, e)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)  # (B, N, h, e)
+        xf = x.reshape(B, H * W, C)
+        if self.fused:
+            out = fused_linear_attention(xf, w_qkv, self.heads, self.dim_head)
+        else:
+            out = _ref_linear_attention(xf, w_qkv, self.heads, self.dim_head)
+        # reference normalizes v by (h*w) == N
         out = out.reshape(B, H, W, hidden)
         out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
         return ChannelLayerNorm(self.dim, self.dtype, name="out_norm")(out)
@@ -197,10 +216,11 @@ class Attention(nn.Module):
 class PreNormResidual(nn.Module):
     dim: int
     inner: nn.Module
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return self.inner(ChannelLayerNorm(self.dim, name="norm")(x)) + x
+        return self.inner(ChannelLayerNorm(self.dim, self.dtype, name="norm")(x)) + x
 
 
 class ConditionalUNet(nn.Module):
@@ -251,6 +271,7 @@ class ConditionalUNet(nn.Module):
             x = PreNormResidual(
                 dim_in,
                 LinearAttention(dim_in, cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down_{i}_attn"),
+                dtype=dt,
                 name=f"down_{i}_attn_wrap",
             )(x)
             hs.append(x)
@@ -266,6 +287,7 @@ class ConditionalUNet(nn.Module):
         x = PreNormResidual(
             mid_dim,
             Attention(mid_dim, cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_attn"),
+            dtype=dt,
             name="mid_attn_wrap",
         )(x)
         x = ResnetBlock(mid_dim, groups, dt, name="mid_block2")(x, cond)
@@ -279,6 +301,7 @@ class ConditionalUNet(nn.Module):
             x = PreNormResidual(
                 dim_out,
                 LinearAttention(dim_out, cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up_{i}_attn"),
+                dtype=dt,
                 name=f"up_{i}_attn_wrap",
             )(x)
             if not is_last:

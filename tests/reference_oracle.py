@@ -81,6 +81,19 @@ def make_reference_unet(num_classes=5, dim=64, dim_mults=(1, 2, 4, 8), channels=
     return Unet(dim=dim, dim_mults=dim_mults, channels=channels, num_classes=num_classes)
 
 
+def make_reference_baseshomo(crop_size=(320, 576)):
+    install_stubs()
+
+    class P:
+        pass
+
+    params = P()
+    params.crop_size = list(crop_size)
+    from HEM.model import net as refnet
+
+    return refnet.Net(params)
+
+
 def make_reference_osnet(crop_size=(320, 576)):
     install_stubs()
     import json

@@ -86,6 +86,43 @@ def build_condition(
     return np.concatenate([img1, img2, m, rgb_flow, flow], axis=2).astype(np.float32)
 
 
+def build_test_condition(
+    img1: np.ndarray,
+    img2: np.ndarray,
+    matched_pts: np.ndarray,
+    image_size: int = 256,
+    src_hw=(360, 640),
+) -> np.ndarray:
+    """CATestSet-style 11-channel condition (no mask): img1(3) img2(3)
+    rgb_flow(3) flow(2).  The homography comes from the 6 GT matched points
+    (denoising_diffusion_pytorch.py:1166-1246).
+
+    matched_pts: (>=4, 2, 2) of [pair, (src, dst), (x, y)].
+    """
+    import cv2
+
+    import jax.numpy as jnp
+
+    from dmhomo_tpu.geometry.homography import homography_from_points
+
+    def to_f01(im):
+        im = np.asarray(im)
+        if im.dtype == np.uint8:
+            im = im.astype(np.float32) / 255.0
+        return im.astype(np.float32)
+
+    img1 = cv2.resize(to_f01(img1), (image_size, image_size))
+    img2 = cv2.resize(to_f01(img2), (image_size, image_size))
+
+    src = np.asarray(matched_pts, np.float32)[:, 0, :]
+    dst = np.asarray(matched_pts, np.float32)[:, 1, :]
+    H = np.asarray(homography_from_points(jnp.asarray(src[None]), jnp.asarray(dst[None])))[0]
+    H = rescale_homography_np(H, src_hw, (image_size, image_size))
+    flow = homography_to_flow_np(H, image_size, image_size)
+    rgb_flow = flow_to_rgb_np(flow)
+    return np.concatenate([img1, img2, rgb_flow, flow], axis=2).astype(np.float32)
+
+
 class ConditionCache:
     """Flat condition cache: one (N, S, S, 12) float32 .npy + (N,) class ids.
 

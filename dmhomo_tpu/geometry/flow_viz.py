@@ -29,6 +29,71 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _middlebury_color_wheel():
+    """55-color Middlebury wheel (flow_to_image_luo parity, :1328-1381)."""
+    import numpy as np
+
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    ncols = RY + YG + GC + CB + BM + MR
+    wheel = np.zeros((ncols, 3))
+    col = 0
+    wheel[0:RY, 0] = 255
+    wheel[0:RY, 1] = np.floor(255 * np.arange(RY) / RY)
+    col += RY
+    wheel[col : col + YG, 0] = 255 - np.floor(255 * np.arange(YG) / YG)
+    wheel[col : col + YG, 1] = 255
+    col += YG
+    wheel[col : col + GC, 1] = 255
+    wheel[col : col + GC, 2] = np.floor(255 * np.arange(GC) / GC)
+    col += GC
+    wheel[col : col + CB, 1] = 255 - np.floor(255 * np.arange(CB) / CB)
+    wheel[col : col + CB, 2] = 255
+    col += CB
+    wheel[col : col + BM, 2] = 255
+    wheel[col : col + BM, 0] = np.floor(255 * np.arange(BM) / BM)
+    col += BM
+    wheel[col : col + MR, 2] = 255 - np.floor(255 * np.arange(MR) / MR)
+    wheel[col : col + MR, 0] = 255
+    return wheel
+
+
+def flow_to_rgb_middlebury(flow) -> "jnp.ndarray":
+    """Middlebury color-code rendering (`flow_to_image_luo`,
+    denoising_diffusion_pytorch.py:1318-1468).  Host-side numpy; used only
+    for qualitative previews.  flow: (h, w, 2) -> (h, w, 3) in [0, 1]."""
+    import numpy as np
+
+    flow = np.asarray(flow, np.float64)
+    u, v = flow[..., 0].copy(), flow[..., 1].copy()
+    bad = (np.abs(u) > 1e7) | (np.abs(v) > 1e7) | np.isnan(u) | np.isnan(v)
+    u[bad] = 0
+    v[bad] = 0
+    rad = np.sqrt(u * u + v * v)
+    maxrad = max(-1.0, rad.max())
+    u = u / (maxrad + np.finfo(float).eps)
+    v = v / (maxrad + np.finfo(float).eps)
+
+    wheel = _middlebury_color_wheel()
+    ncols = wheel.shape[0]
+    rad = np.sqrt(u * u + v * v)
+    a = np.arctan2(-v, -u) / np.pi
+    fk = (a + 1) / 2 * (ncols - 1) + 1
+    k0 = np.floor(fk).astype(int)
+    k1 = k0 + 1
+    k1[k1 == ncols + 1] = 1
+    f = fk - k0
+    img = np.zeros(u.shape + (3,))
+    for i in range(3):
+        col0 = wheel[k0 - 1, i] / 255.0
+        col1 = wheel[k1 - 1, i] / 255.0
+        col = (1 - f) * col0 + f * col1
+        idx = rad <= 1
+        col[idx] = 1 - rad[idx] * (1 - col[idx])
+        col[~idx] *= 0.75
+        img[..., i] = np.floor(255 * col * (1 - bad)).astype(np.uint8)
+    return img / 255.0
+
+
 def flow_to_rgb(flow: jnp.ndarray, max_flow: float = 256.0, n: float = 8.0) -> jnp.ndarray:
     """(..., h, w, 2) flow -> (..., h, w, 3) RGB in [0,1]."""
     if max_flow is not None:

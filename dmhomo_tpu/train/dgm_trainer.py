@@ -190,6 +190,25 @@ class DGMTrainer:
             jnp.asarray(mask),
         )
 
+    def save_preview(self, cond_batch: np.ndarray, classes: np.ndarray, path: str, key=None):
+        """Sample from the EMA model on a condition batch and dump the
+        warp-consistency panel grid (the reference Trainer's milestone
+        preview, denoising_diffusion_pytorch.py:1871-1935)."""
+        import jax.numpy as jnp
+
+        from dmhomo_tpu.utils.viz import image_grid, sample_panel, save_png
+
+        key = jax.random.PRNGKey(0) if key is None else key
+        cond = jnp.asarray(cond_batch)
+        imgs = self.sample(key, classes, cond[..., 7:10], cond[..., 6:7])
+        panel = sample_panel(
+            np.asarray(jax.device_get(imgs)),
+            np.asarray(cond_batch[..., 6:7]),
+            np.asarray(cond_batch[..., 10:12]),
+        )
+        save_png(path, image_grid(panel))
+        return path
+
     # -- checkpoints --------------------------------------------------------
 
     def save(self, root: Optional[str] = None):

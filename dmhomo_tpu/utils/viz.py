@@ -1,0 +1,64 @@
+"""Qualitative visualization: preview panels, image grids, warp-check GIFs.
+
+The numeric equivalents of the reference's eyeball checks:
+* `postProcess` sample panels (denoising_diffusion_pytorch.py:1505-1517):
+  [img1 | warp(img2, flow) | mask | flow-rgb] rows
+* `make_gif` two-frame flip GIFs (:1543-1555, HEM/model/utils.py:575-583)
+* square image grids like torchvision save_image (net.py:879-886)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def sample_panel(imgs6: np.ndarray, mask: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Per-sample check panel.
+
+    imgs6: (B, H, W, 6) in [0,1]; mask: (B, H, W, 1); flow: (B, H, W, 2).
+    Returns (B, 2H, 4W, 3): row 1 = [img1, img1, mask, flow_rgb],
+    row 2 = [img2, warp(img2, flow), mask, flow_rgb] - aligned columns
+    should match between rows when the generation is consistent.
+    """
+    import jax.numpy as jnp
+
+    from dmhomo_tpu.geometry import flow_to_rgb, warp_by_flow
+
+    img1, img2 = imgs6[..., :3], imgs6[..., 3:]
+    warp = np.asarray(warp_by_flow(jnp.asarray(img2), jnp.asarray(flow), mode="border"))
+    flow_rgb = np.asarray(flow_to_rgb(jnp.asarray(flow)))
+    mask3 = np.repeat(mask, 3, axis=-1)
+    row1 = np.concatenate([img1, img1, mask3, flow_rgb], axis=2)
+    row2 = np.concatenate([img2, warp, mask3, flow_rgb], axis=2)
+    return np.clip(np.concatenate([row1, row2], axis=1), 0, 1)
+
+
+def image_grid(images: np.ndarray, nrow: Optional[int] = None, pad: int = 2) -> np.ndarray:
+    """(N, H, W, C) -> one (gh*H', gw*W', C) grid image in [0,1]."""
+    n, h, w, c = images.shape
+    nrow = nrow or int(np.ceil(np.sqrt(n)))
+    ncol = int(np.ceil(n / nrow))
+    grid = np.ones((ncol * (h + pad) - pad, nrow * (w + pad) - pad, c), images.dtype)
+    for i in range(n):
+        r, cl = divmod(i, nrow)
+        grid[r * (h + pad) : r * (h + pad) + h, cl * (w + pad) : cl * (w + pad) + w] = images[i]
+    return grid
+
+
+def save_png(path: str, image01: np.ndarray) -> None:
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray((np.clip(image01, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def save_flip_gif(path: str, frames01: Sequence[np.ndarray], duration: float = 0.5) -> None:
+    """Two-frame (or more) flip GIF - the reference's warp-consistency check."""
+    import imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f in frames01]
+    imageio.mimsave(path, frames, duration=duration, loop=0)

@@ -43,6 +43,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from dmhomo_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     import jax
     import jax.numpy as jnp
 
@@ -76,7 +79,11 @@ def main(argv=None):
         logger.info(f"loaded torch checkpoint step {info['step']}")
     elif args.ckpt:
         state = load_checkpoint(args.ckpt)
-        params = jax.tree.map(jnp.asarray, state["ema"]["params"])
+        # without a target tree, orbax restores the EMAState custom pytree
+        # as its flattened children [params, step]
+        ema = state["ema"]
+        ema_params = ema["params"] if isinstance(ema, dict) else ema[0]
+        params = jax.tree.map(jnp.asarray, ema_params)
         logger.info(f"loaded native checkpoint step {state['step']}")
     else:
         S = args.image_size

@@ -75,6 +75,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from dmhomo_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     from dmhomo_tpu.diffusion import DiffusionConfig
     from dmhomo_tpu.models import UNetConfig
     from dmhomo_tpu.train.config import DGMTrainConfig

@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from dmhomo_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     import numpy as np
 
     from dmhomo_tpu.data import DataLoader, HEMTrainDataset, SyntheticHomoPairs

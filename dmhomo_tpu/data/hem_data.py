@@ -53,7 +53,11 @@ class HEMTrainDataset:
             self.paths = self.paths[:limit]
         self.crop_size = tuple(crop_size)
         self.ori_size = tuple(ori_size)
-        self.rho = rho
+        # clamp the crop margin so small (smoke) geometries stay valid
+        max_rho = min(
+            (ori_size[0] - crop_size[0]) // 2, (ori_size[1] - crop_size[1]) // 2
+        )
+        self.rho = max(0, min(rho, max_rho))
         self.rng = rng or np.random.default_rng()
 
     def __len__(self):

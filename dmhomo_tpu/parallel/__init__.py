@@ -1,5 +1,6 @@
 """Device-mesh parallelism: the TPU-native replacement for accelerate/DDP."""
 
+from dmhomo_tpu.parallel.distributed import maybe_initialize_distributed
 from dmhomo_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
@@ -9,6 +10,7 @@ from dmhomo_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "maybe_initialize_distributed",
     "make_mesh",
     "batch_sharding",
     "replicated",

@@ -247,3 +247,14 @@ def test_reference_params_json_loads():
     assert cfg.loss.nll == 1 and cfg.loss.sup == 0
     cfg2 = HEMTrainConfig.from_params(Params("/root/reference/HEM/experiments/stage2/params.json"))
     assert cfg2.loss.sup == 1
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    """Single-host: no trigger env vars -> returns False, no init."""
+    from dmhomo_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    distributed._INITIALIZED = False
+    assert distributed.maybe_initialize_distributed() is False

@@ -31,7 +31,17 @@ STD_I = np.array([69.85, 68.81, 72.45], np.float64).reshape(1, 1, 3)
 
 
 def normalize_gray(img_u8: np.ndarray) -> np.ndarray:
-    """(H, W, 3) uint8/float -> (H, W, 1) normalized grayscale (ref :240-248)."""
+    """(H, W, 3) uint8/float -> (H, W, 1) normalized grayscale (ref :240-248).
+
+    Routes through the native kernel when built (same fp64 math).
+    """
+    from dmhomo_tpu import native
+
+    img_u8 = np.asarray(img_u8)
+    if img_u8.dtype in (np.uint8, np.float32):
+        out = native.normalize_gray_native(img_u8, MEAN_I.ravel(), STD_I.ravel())
+        if out is not None:
+            return out
     img = (np.asarray(img_u8, np.float64) - MEAN_I) / STD_I
     return np.mean(img, axis=2, keepdims=True).astype(np.float32)
 

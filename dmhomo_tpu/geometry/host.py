@@ -25,10 +25,24 @@ def homography_to_mapping_np(H: np.ndarray, h: int, w: int, eps: float = 1e-6) -
 
 
 def homography_to_flow_np(H: np.ndarray, h: int, w: int, eps: float = 1e-6) -> np.ndarray:
-    """flow(x) = H(x) - x in float64, cast fp32.  (h, w, 2)."""
-    m = homography_to_mapping_np(H, h, w, eps=eps).astype(np.float64)
+    """flow(x) = H(x) - x in float64 throughout, single fp32 cast at the end
+    (matching the reference's get_flow_np).  (h, w, 2).
+
+    Dispatches to the C++ kernel (dmhomo_tpu.native) when built - same
+    float64 expression per pixel, ~10x faster than the numpy temporaries.
+    """
+    from dmhomo_tpu import native
+
+    out = native.homography_to_flow_native(H, h, w, eps)
+    if out is not None:
+        return out
     X, Y = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
-    return (m - np.stack([X, Y], axis=-1)).astype(np.float32)
+    xyh = np.stack([X.ravel(), Y.ravel(), np.ones(h * w)], axis=0)
+    o = np.asarray(H, np.float64) @ xyh
+    z = o[2] + eps
+    fx = (o[0] / z).reshape(h, w) - X
+    fy = (o[1] / z).reshape(h, w) - Y
+    return np.stack([fx, fy], axis=-1).astype(np.float32)
 
 
 def rescale_homography_np(H: np.ndarray, src_hw, dst_hw) -> np.ndarray:

@@ -83,10 +83,16 @@ def bucket_by_category(
 
 
 def category_report(buckets: Dict[str, list]) -> Dict[str, float]:
-    """Per-category means + AVG (mean of the 5 category means)."""
+    """Per-category means + AVG (mean of the 5 category means).
+
+    Categories with no samples report NaN and are excluded from AVG
+    (nanmean) so partial test sets still yield a usable AVG; on the full
+    CAHomo test split this equals the reference's plain mean of 5.
+    """
     report = {}
     for cat in CATEGORY_NAMES:
         vals = buckets.get(cat, [])
         report[cat] = float(np.mean(vals)) if vals else float("nan")
-    report["AVG"] = float(np.mean([report[c] for c in CATEGORY_NAMES]))
+    cats = [report[c] for c in CATEGORY_NAMES]
+    report["AVG"] = float(np.nanmean(cats)) if not all(np.isnan(cats)) else float("nan")
     return report

@@ -185,9 +185,13 @@ class GaussianDiffusion:
         mask: jnp.ndarray,
         cond_scale: float | None = None,
         clip_denoised: bool = True,
+        fixed_noise: tuple | None = None,
     ) -> jnp.ndarray:
         """DDIM sampling as one lax.scan.  rgb_flow must already be in [-1,1].
 
+        ``fixed_noise`` optionally injects (init_noise (B,H,W,C), step_noise
+        (S,B,H,W,C)) instead of drawing from ``key`` - used by the
+        bit-parity harness against the reference sampler.
         Returns the sampled 6-ch image pair in [0, 1], NHWC.
         """
         cfg = self.config
@@ -198,11 +202,20 @@ class GaussianDiffusion:
         pairs = jnp.asarray(ddim_time_pairs(cfg.timesteps, cfg.sampling_timesteps))
         eta = cfg.ddim_sampling_eta
 
-        key, init_key = jax.random.split(key)
-        img0 = jax.random.normal(init_key, shape, jnp.float32)
+        if fixed_noise is not None:
+            img0 = jnp.asarray(fixed_noise[0], jnp.float32)
+            step_noise = jnp.asarray(fixed_noise[1], jnp.float32)
+        else:
+            key, init_key = jax.random.split(key)
+            img0 = jax.random.normal(init_key, shape, jnp.float32)
+            step_noise = None
 
-        def step(carry, pair):
+        def step(carry, inp):
             img, k = carry
+            if step_noise is None:
+                pair = inp
+            else:
+                pair, noise = inp
             time, time_next = pair[0], pair[1]
             t_b = jnp.full((B,), time, jnp.int32)
             pred_noise, x_start = self.model_predictions(
@@ -218,13 +231,15 @@ class GaussianDiffusion:
             )
             c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma**2, 0.0))
 
-            k, nk = jax.random.split(k)
-            noise = jax.random.normal(nk, img.shape, img.dtype)
+            if step_noise is None:
+                k, nk = jax.random.split(k)
+                noise = jax.random.normal(nk, img.shape, img.dtype)
             img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
             img_out = jnp.where(time_next < 0, x_start, img_next)
             return (img_out, k), None
 
-        (img, _), _ = jax.lax.scan(step, (img0, key), pairs)
+        xs = pairs if step_noise is None else (pairs, step_noise)
+        (img, _), _ = jax.lax.scan(step, (img0, key), xs)
         return unnormalize_to_zero_to_one(img)
 
     def p_sample_loop(

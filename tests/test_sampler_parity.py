@@ -1,0 +1,108 @@
+"""End-to-end DDIM sampler bit-parity vs the reference torch implementation.
+
+The strongest parity guarantee (SURVEY.md 'hard parts' #1): same weights,
+same conditions, same noise sequence -> the full 8-step DDIM chain through a
+real (small) UNet must produce matching image pairs.  Covers schedule
+buffers, time grid, CFG extrapolation, x0 clipping and the update formula in
+one shot."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dmhomo_tpu.diffusion import DiffusionConfig, GaussianDiffusion
+from dmhomo_tpu.models import ConditionalUNet, UNetConfig
+from dmhomo_tpu.models.unet import make_unet_apply
+from dmhomo_tpu.models.import_torch import import_unet_state_dict
+
+from reference_oracle import install_stubs, reference_available
+
+needs_ref = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+
+
+@needs_ref
+def test_full_ddim_chain_matches_reference():
+    install_stubs()
+    from denoising_diffusion_models.classifier_free_guidance import (
+        GaussianDiffusion as RefGD,
+        Unet as RefUnet,
+    )
+
+    torch.manual_seed(7)
+    S, STEPS, B = 32, 8, 2
+    ref_unet = RefUnet(dim=16, dim_mults=(1, 2), channels=6, num_classes=2)
+    ref_unet.eval()
+    # reference quirk: forward_with_cond_scale forgets cond_drop_prob=0.
+    # (classifier_free_guidance.py:403-404 vs lucidrains' original), so the
+    # reference samples with 50% random class-drop inside the *conditional*
+    # CFG branch.  We implement the correct semantics; neutralize the quirk
+    # for the comparison.  Documented in PARITY.md.
+    ref_unet.cond_drop_prob = 0.0
+    ref_gd = RefGD(
+        ref_unet, image_size=S, timesteps=100, sampling_timesteps=STEPS,
+        loss_type="l1", objective="pred_x0",
+    )
+    ref_gd.eval()
+
+    cfg = UNetConfig(dim=16, num_classes=2, dim_mults=(1, 2))
+    model = ConditionalUNet(cfg)
+    params = import_unet_state_dict(ref_unet.state_dict(), cfg)
+    gd = GaussianDiffusion(
+        make_unet_apply(model),
+        DiffusionConfig(image_size=S, channels=6, timesteps=100, sampling_timesteps=STEPS,
+                        objective="pred_x0"),
+    )
+
+    rng = np.random.default_rng(3)
+    classes = np.asarray([0, 1])
+    rgb_flow01 = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+    mask = rng.uniform(0, 1, (B, S, S, 1)).astype(np.float32)
+    init_noise = rng.normal(0, 1, (B, S, S, 6)).astype(np.float32)
+    step_noise = rng.normal(0, 1, (STEPS, B, S, S, 6)).astype(np.float32)
+
+    # ours: inject the noise sequence
+    rgb_norm = jnp.asarray(rgb_flow01) * 2 - 1
+    ours = gd.ddim_sample(
+        params, jax.random.PRNGKey(0), jnp.asarray(classes), rgb_norm, jnp.asarray(mask),
+        fixed_noise=(init_noise, step_noise),
+    )
+    ours = np.asarray(ours)
+
+    # reference: patch torch.randn / randn_like to pop the same sequence
+    seq = [torch.from_numpy(init_noise).permute(0, 3, 1, 2)] + [
+        torch.from_numpy(n).permute(0, 3, 1, 2) for n in step_noise
+    ]
+    state = {"i": 0}
+
+    def fake_randn(*shape, device=None, **kw):
+        t = seq[state["i"]]
+        state["i"] += 1
+        return t
+
+    def fake_randn_like(x):
+        return fake_randn()
+
+    orig_randn, orig_like = torch.randn, torch.randn_like
+    torch.randn = fake_randn
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            golden, _, _ = ref_gd.ddim_sample(
+                torch.from_numpy(classes),
+                torch.from_numpy(rgb_flow01).permute(0, 3, 1, 2) * 2 - 1,
+                torch.zeros(B, 2, S, S),
+                torch.from_numpy(mask).permute(0, 3, 1, 2),
+                (B, 6, S, S),
+            )
+    finally:
+        torch.randn, torch.randn_like = orig_randn, orig_like
+    # note: the last step_noise is never consumed (time_next < 0 branch)
+    golden = golden.permute(0, 2, 3, 1).numpy()
+
+    err = np.abs(ours - golden).max()
+    assert err < 2e-2, f"full DDIM chain mismatch {err}"
+    # and tightly on average
+    assert np.abs(ours - golden).mean() < 2e-3

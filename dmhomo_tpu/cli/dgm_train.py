@@ -72,6 +72,8 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--save-every", type=int, default=500)
     parser.add_argument("--no-bf16", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize UNet blocks (bigger per-chip batch)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -84,7 +86,7 @@ def main(argv=None):
     from dmhomo_tpu.train.dgm_trainer import DGMTrainer
 
     cfg = DGMTrainConfig(
-        unet=UNetConfig(dim=args.dim, num_classes=args.num_classes),
+        unet=UNetConfig(dim=args.dim, num_classes=args.num_classes, remat=args.remat),
         diffusion=DiffusionConfig(
             image_size=args.image_size,
             timesteps=args.timesteps,

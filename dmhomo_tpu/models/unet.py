@@ -41,6 +41,10 @@ class UNetConfig:
     attn_heads: int = 4
     attn_dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    # rematerialize each ResnetBlock/attention in the backward pass - trades
+    # ~30% step FLOPs for activation memory (the reference burns ~300 GB for
+    # global bs=128; remat makes per-chip microbatches fit 16 GB HBM)
+    remat: bool = False
 
 
 class WeightStandardizedConv(nn.Module):
@@ -262,13 +266,17 @@ class ConditionalUNet(nn.Module):
         num_res = len(in_out)
         groups = cfg.resnet_block_groups
 
+        # optional per-block rematerialization (UNetConfig.remat)
+        Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        Wrap = nn.remat(PreNormResidual) if cfg.remat else PreNormResidual
+
         hs = []
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = ResnetBlock(dim_in, groups, dt, name=f"down_{i}_block1")(x, cond)
+            x = Res(dim_in, groups, dt, name=f"down_{i}_block1")(x, cond)
             hs.append(x)
-            x = ResnetBlock(dim_in, groups, dt, name=f"down_{i}_block2")(x, cond)
-            x = PreNormResidual(
+            x = Res(dim_in, groups, dt, name=f"down_{i}_block2")(x, cond)
+            x = Wrap(
                 dim_in,
                 LinearAttention(dim_in, cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down_{i}_attn"),
                 dtype=dt,
@@ -283,22 +291,22 @@ class ConditionalUNet(nn.Module):
                 x = nn.Conv(dim_out, (3, 3), padding=1, dtype=dt, name=f"down_{i}_downsample")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, groups, dt, name="mid_block1")(x, cond)
-        x = PreNormResidual(
+        x = Res(mid_dim, groups, dt, name="mid_block1")(x, cond)
+        x = Wrap(
             mid_dim,
             Attention(mid_dim, cfg.attn_heads, cfg.attn_dim_head, dt, name="mid_attn"),
             dtype=dt,
             name="mid_attn_wrap",
         )(x)
-        x = ResnetBlock(mid_dim, groups, dt, name="mid_block2")(x, cond)
+        x = Res(mid_dim, groups, dt, name="mid_block2")(x, cond)
 
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i == len(in_out) - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_out, groups, dt, name=f"up_{i}_block1")(x, cond)
+            x = Res(dim_out, groups, dt, name=f"up_{i}_block1")(x, cond)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_out, groups, dt, name=f"up_{i}_block2")(x, cond)
-            x = PreNormResidual(
+            x = Res(dim_out, groups, dt, name=f"up_{i}_block2")(x, cond)
+            x = Wrap(
                 dim_out,
                 LinearAttention(dim_out, cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up_{i}_attn"),
                 dtype=dt,
@@ -313,7 +321,7 @@ class ConditionalUNet(nn.Module):
                 x = nn.Conv(dim_in, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(dim, groups, dt, name="final_res_block")(x, cond)
+        x = Res(dim, groups, dt, name="final_res_block")(x, cond)
         out = nn.Conv(cfg.channels, (1, 1), dtype=jnp.float32, name="final_conv")(
             x.astype(jnp.float32)
         )

@@ -82,7 +82,7 @@ def _pass2_kernel(x_ref, wq_ref, ctx_ref, o_ref, *, heads: int, dim_head: int, o
     o_ref[0] = out.astype(out_dtype)
 
 
-def _fused_forward(x, w_qkv, heads: int, dim_head: int, tile: int):
+def _fused_forward(x, w_qkv, heads: int, dim_head: int, tile: int, interpret: bool = False):
     B, N, C = x.shape
     hd = heads * dim_head
     nT = N // tile
@@ -107,6 +107,7 @@ def _fused_forward(x, w_qkv, heads: int, dim_head: int, tile: int):
             jax.ShapeDtypeStruct((B, nT, hd), jnp.float32),
             jax.ShapeDtypeStruct((B * nT, hd, hd), jnp.float32),
         ],
+        interpret=interpret,
     )(x, wk.astype(dt), wv.astype(dt))
     c = c.reshape(B, nT, hd, hd)
 
@@ -137,6 +138,7 @@ def _fused_forward(x, w_qkv, heads: int, dim_head: int, tile: int):
         ],
         out_specs=pl.BlockSpec((1, tile, hd), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, hd), dt),
+        interpret=interpret,
     )(x, wq.astype(dt), context.astype(dt))
     return out
 

@@ -13,8 +13,6 @@ import dataclasses
 import json
 from typing import Optional, Sequence
 
-import jax.numpy as jnp
-
 from dmhomo_tpu.diffusion import DiffusionConfig
 from dmhomo_tpu.losses import LossWeights
 from dmhomo_tpu.models import EstimatorConfig, SwinConfig, UNetConfig

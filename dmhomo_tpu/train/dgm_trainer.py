@@ -16,7 +16,6 @@ grad accumulation, periodic save + sample.  TPU-native shape:
 
 from __future__ import annotations
 
-import functools
 from typing import Iterator, Optional
 
 import jax

@@ -10,7 +10,6 @@ static-shape jitted program for the full-resolution eval forward.
 
 from __future__ import annotations
 
-import functools
 from typing import Iterator, Optional
 
 import jax
@@ -150,6 +149,23 @@ class HEMTrainer:
             errs.extend(np.asarray(jax.device_get(e)).tolist())
             names.extend(batch["video_names"])
         buckets = bucket_by_category(errs, names)
+        # pod runs: reduce numeric per-category (sum, count) across hosts -
+        # the accelerate.gather replacement (hem_evaluate.py:132-151); each
+        # host evaluates its own data shard.
+        if jax.process_count() > 1:
+            from dmhomo_tpu.evaluation.metrics import CATEGORY_NAMES
+            from jax.experimental import multihost_utils
+
+            local = np.asarray(
+                [[float(np.sum(buckets[c])), float(len(buckets[c]))] for c in CATEGORY_NAMES],
+                np.float32,
+            )
+            gathered = np.asarray(multihost_utils.process_allgather(local))
+            totals = gathered.sum(axis=0)  # (5, 2)
+            buckets = {
+                c: ([totals[i, 0] / totals[i, 1]] * int(totals[i, 1]) if totals[i, 1] else [])
+                for i, c in enumerate(CATEGORY_NAMES)
+            }
         report = category_report(buckets)
         self.metrics.update(split, report)
         self.logger.info(

@@ -41,6 +41,11 @@ class UNetConfig:
     attn_heads: int = 4
     attn_dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    # use the fused Pallas linear-attention kernel (auto-disabled by the
+    # trainer when its mesh runs on CPU devices, where only interpret mode
+    # exists; the module-level fallback also triggers on a CPU default
+    # backend or ragged shapes)
+    fused_attention: bool = True
     # rematerialize each ResnetBlock/attention in the backward pass - trades
     # ~30% step FLOPs for activation memory (the reference burns ~300 GB for
     # global bs=128; remat makes per-chip microbatches fit 16 GB HBM)
@@ -278,7 +283,7 @@ class ConditionalUNet(nn.Module):
             x = Res(dim_in, groups, dt, name=f"down_{i}_block2")(x, cond)
             x = Wrap(
                 dim_in,
-                LinearAttention(dim_in, cfg.attn_heads, cfg.attn_dim_head, dt, name=f"down_{i}_attn"),
+                LinearAttention(dim_in, cfg.attn_heads, cfg.attn_dim_head, dt, cfg.fused_attention, name=f"down_{i}_attn"),
                 dtype=dt,
                 name=f"down_{i}_attn_wrap",
             )(x)
@@ -308,7 +313,7 @@ class ConditionalUNet(nn.Module):
             x = Res(dim_out, groups, dt, name=f"up_{i}_block2")(x, cond)
             x = Wrap(
                 dim_out,
-                LinearAttention(dim_out, cfg.attn_heads, cfg.attn_dim_head, dt, name=f"up_{i}_attn"),
+                LinearAttention(dim_out, cfg.attn_heads, cfg.attn_dim_head, dt, cfg.fused_attention, name=f"up_{i}_attn"),
                 dtype=dt,
                 name=f"up_{i}_attn_wrap",
             )(x)

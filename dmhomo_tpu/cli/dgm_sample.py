@@ -36,11 +36,19 @@ def main(argv=None):
     parser.add_argument("--batches", type=int, default=0, help="0 = run until conditions exhausted")
     parser.add_argument("--batches-per-shard", type=int, default=2)
     parser.add_argument("--dim", type=int, default=64)
+    parser.add_argument("--dim-mults", type=str, default="1,2,4,8",
+                        help="comma-separated UNet stage multipliers")
     parser.add_argument("--image-size", type=int, default=256)
     parser.add_argument("--num-classes", type=int, default=1)
     parser.add_argument("--cond-scale", type=float, default=3.0)
     parser.add_argument("--out", type=str, default="traindata")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--preview-every", type=int, default=0, metavar="N",
+        help="every N batches, dump a warp-consistency sample-panel PNG "
+        "(the reference's per-100-step previews, "
+        "denoising_diffusion_pytorch.py:1972-2019); 0 = off",
+    )
     args = parser.parse_args(argv)
 
     from dmhomo_tpu.parallel.distributed import maybe_initialize_distributed
@@ -57,7 +65,12 @@ def main(argv=None):
 
     logger = get_logger("dgm_sample")
 
-    unet_cfg = UNetConfig(dim=args.dim, num_classes=args.num_classes, dtype=jnp.bfloat16)
+    unet_cfg = UNetConfig(
+        dim=args.dim,
+        num_classes=args.num_classes,
+        dim_mults=tuple(int(m) for m in args.dim_mults.split(",")),
+        dtype=jnp.bfloat16,
+    )
     model = ConditionalUNet(unet_cfg)
     gd = GaussianDiffusion(
         make_unet_apply(model),
@@ -78,13 +91,12 @@ def main(argv=None):
         params = jax.tree.map(jnp.asarray, params)
         logger.info(f"loaded torch checkpoint step {info['step']}")
     elif args.ckpt:
-        state = load_checkpoint(args.ckpt)
-        # without a target tree, orbax restores the EMAState custom pytree
-        # as its flattened children [params, step]
-        ema = state["ema"]
-        ema_params = ema["params"] if isinstance(ema, dict) else ema[0]
-        params = jax.tree.map(jnp.asarray, ema_params)
-        logger.info(f"loaded native checkpoint step {state['step']}")
+        from dmhomo_tpu.train.dgm_trainer import dgm_abstract_state
+
+        target = dgm_abstract_state(model, args.image_size)
+        state = load_checkpoint(args.ckpt, target=target)
+        params = jax.tree.map(jnp.asarray, state["ema"].params)
+        logger.info(f"loaded native checkpoint step {int(state['step'])}")
     else:
         S = args.image_size
         dummy = dict(
@@ -143,6 +155,15 @@ def main(argv=None):
         )
         imgs = np.asarray(jax.device_get(imgs))
         homos = np.asarray(jax.device_get(homos))
+        if args.preview_every and b % args.preview_every == 0:
+            from dmhomo_tpu.utils.viz import image_grid, sample_panel, save_png
+
+            panel = sample_panel(
+                imgs, np.asarray(cond[..., 6:7]), np.asarray(cond[..., 10:12])
+            )
+            ppath = os.path.join(args.out, args.exp, "previews", f"batch_{b:05d}.png")
+            save_png(ppath, image_grid(panel))
+            logger.info(f"preview: {ppath}")
         # reference format: CHW uint8
         imgs_u8 = (np.clip(imgs, 0, 1) * 255).astype(np.uint8).transpose(0, 3, 1, 2)
         pending.append({"imgs": imgs_u8, "homos": homos})

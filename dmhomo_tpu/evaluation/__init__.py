@@ -5,7 +5,9 @@ from dmhomo_tpu.evaluation.metrics import (
     CATEGORY_NAMES,
     TEST_CATEGORIES,
     bucket_by_category,
+    bucket_sums,
     category_report,
+    merge_bucket_sums,
 )
 
 __all__ = [
@@ -13,5 +15,7 @@ __all__ = [
     "CATEGORY_NAMES",
     "TEST_CATEGORIES",
     "bucket_by_category",
+    "bucket_sums",
     "category_report",
+    "merge_bucket_sums",
 ]

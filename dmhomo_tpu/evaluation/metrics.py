@@ -82,6 +82,33 @@ def bucket_by_category(
     return buckets
 
 
+def bucket_sums(buckets: Dict[str, list]) -> np.ndarray:
+    """(5, 2) per-category [sum, count] - the per-host numeric summary used
+    by the multi-host eval reduction (replaces accelerator.gather of raw
+    error lists, hem_evaluate.py:132-151)."""
+    return np.asarray(
+        [
+            [float(np.sum(buckets.get(c, []))), float(len(buckets.get(c, [])))]
+            for c in CATEGORY_NAMES
+        ],
+        np.float32,
+    )
+
+
+def merge_bucket_sums(gathered) -> Dict[str, list]:
+    """Inverse of `bucket_sums` across hosts: (n_hosts, 5, 2) [sum, count]
+    rows -> buckets whose per-category means and counts equal the global
+    (unsharded) evaluation.  Pure numpy so the allgather arithmetic is
+    unit-testable without multiple processes."""
+    totals = (
+        np.asarray(gathered, np.float64).reshape(-1, len(CATEGORY_NAMES), 2).sum(axis=0)
+    )
+    return {
+        c: ([totals[i, 0] / totals[i, 1]] * int(totals[i, 1]) if totals[i, 1] else [])
+        for i, c in enumerate(CATEGORY_NAMES)
+    }
+
+
 def category_report(buckets: Dict[str, list]) -> Dict[str, float]:
     """Per-category means + AVG (mean of the 5 category means).
 

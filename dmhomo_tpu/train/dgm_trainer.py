@@ -32,6 +32,44 @@ from dmhomo_tpu.train.ema import EMAState, ema_init, ema_update
 from dmhomo_tpu.utils import get_logger, load_checkpoint, save_checkpoint
 
 
+def dgm_abstract_state(
+    model: ConditionalUNet,
+    image_size: int,
+    grad_clip_norm: float = 1.0,
+    lr: float = 5e-4,
+    adam_b1: float = 0.9,
+    adam_b2: float = 0.99,
+):
+    """Abstract {params, opt_state, ema, step} pytree matching DGMTrainer
+    checkpoints, built under `jax.eval_shape` (no allocation).  Restoring
+    orbax checkpoints against this target keeps custom pytrees (EMAState)
+    intact instead of positional flattened children, so structure changes
+    fail loudly rather than silently misindex."""
+
+    def build():
+        S = image_size
+        dummy = dict(
+            x=jnp.zeros((1, S, S, 6)),
+            time=jnp.zeros((1,), jnp.int32),
+            classes=jnp.zeros((1,), jnp.int32),
+            rgb_flow=jnp.zeros((1, S, S, 3)),
+            mask=jnp.ones((1, S, S, 1)),
+            keep_mask=jnp.ones((1,), bool),
+        )
+        params = model.init(jax.random.PRNGKey(0), **dummy)["params"]
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip_norm), optax.adam(lr, b1=adam_b1, b2=adam_b2)
+        )
+        return {
+            "params": params,
+            "opt_state": tx.init(params),
+            "ema": ema_init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    return jax.eval_shape(build)
+
+
 class DGMTrainer:
     def __init__(self, config: DGMTrainConfig, mesh=None):
         self.config = config

@@ -153,19 +153,11 @@ class HEMTrainer:
         # the accelerate.gather replacement (hem_evaluate.py:132-151); each
         # host evaluates its own data shard.
         if jax.process_count() > 1:
-            from dmhomo_tpu.evaluation.metrics import CATEGORY_NAMES
+            from dmhomo_tpu.evaluation.metrics import bucket_sums, merge_bucket_sums
             from jax.experimental import multihost_utils
 
-            local = np.asarray(
-                [[float(np.sum(buckets[c])), float(len(buckets[c]))] for c in CATEGORY_NAMES],
-                np.float32,
-            )
-            gathered = np.asarray(multihost_utils.process_allgather(local))
-            totals = gathered.sum(axis=0)  # (5, 2)
-            buckets = {
-                c: ([totals[i, 0] / totals[i, 1]] * int(totals[i, 1]) if totals[i, 1] else [])
-                for i, c in enumerate(CATEGORY_NAMES)
-            }
+            gathered = np.asarray(multihost_utils.process_allgather(bucket_sums(buckets)))
+            buckets = merge_bucket_sums(gathered)
         report = category_report(buckets)
         self.metrics.update(split, report)
         self.logger.info(

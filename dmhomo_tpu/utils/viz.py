@@ -62,3 +62,21 @@ def save_flip_gif(path: str, frames01: Sequence[np.ndarray], duration: float = 0
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     frames = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f in frames01]
     imageio.mimsave(path, frames, duration=duration, loop=0)
+
+
+def warp_check_gif(path: str, img12_u8_chw: np.ndarray, homo: np.ndarray,
+                   duration: float = 0.5) -> str:
+    """Per-shard warp-consistency flip GIF on a generated pair
+    (generate_nyps_to_single_case.py:8-19): frame 1 = [img1 | warp(img1, H)],
+    frame 2 = [img2 | img2]; when the generation is consistent the right
+    half holds still while flipping."""
+    import cv2
+
+    img12 = np.asarray(img12_u8_chw).transpose(1, 2, 0).astype(np.float32)
+    img1, img2 = img12[..., :3], img12[..., 3:]
+    h, w = img1.shape[:2]
+    warp = cv2.warpPerspective(img1, np.asarray(homo, np.float64), (w, h))
+    f1 = np.concatenate([img1, warp], axis=1) / 255.0
+    f2 = np.concatenate([img2, img2], axis=1) / 255.0
+    save_flip_gif(path, [f1, f2], duration)
+    return path

@@ -9,7 +9,9 @@ import torch
 from dmhomo_tpu.evaluation import (
     TEST_CATEGORIES,
     bucket_by_category,
+    bucket_sums,
     category_report,
+    merge_bucket_sums,
     point_matching_error,
 )
 from dmhomo_tpu.losses import LossWeights, compute_losses, mask_bce_loss, nll_laplace
@@ -129,3 +131,29 @@ def test_category_ids_unique_membership():
     """'0000030' appears in both RE and SF in the reference (elif order wins)."""
     b = bucket_by_category([7.0], ["0000030"])
     assert b["RE"] == [7.0] and b["SF"] == []
+
+
+def test_multihost_bucket_reduction_matches_unsharded(rng):
+    """The per-host (sum, count) allgather arithmetic (hem_trainer.evaluate)
+    must reproduce the whole-split category report for ANY data sharding -
+    the accelerator.gather replacement (hem_evaluate.py:132-151)."""
+    ids = [v for ids in TEST_CATEGORIES.values() for v in ids]
+    names = [ids[i % len(ids)] for i in range(101)]  # ragged, all categories
+    errs = list(rng.uniform(0, 10, len(names)))
+    whole = category_report(bucket_by_category(errs, names))
+    for n_hosts in (1, 2, 3, 8):
+        shards = [
+            bucket_sums(bucket_by_category(errs[h::n_hosts], names[h::n_hosts]))
+            for h in range(n_hosts)
+        ]
+        merged = category_report(merge_bucket_sums(np.stack(shards)))
+        for k, v in whole.items():
+            np.testing.assert_allclose(merged[k], v, rtol=1e-6)
+
+
+def test_bucket_sums_empty_category():
+    sums = bucket_sums({"RE": [1.0, 3.0]})
+    assert sums.shape == (5, 2)
+    np.testing.assert_allclose(sums[0], [4.0, 2.0])
+    merged = merge_bucket_sums(sums[None])
+    assert merged["RE"] == [2.0] * 2 and merged["LT"] == []

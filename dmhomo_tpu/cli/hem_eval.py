@@ -70,14 +70,18 @@ def main(argv=None):
         full = upsample_outputs(out, full_hw)
         return point_matching_error(pt_set, full["flow_f"], full["flow_b"])
 
+    from dmhomo_tpu.data.loader import pad_batch
+
     errs, names = [], []
     for batch in dl:
+        # pad-and-mask the tail so the jitted forward compiles exactly once
+        batch, n_valid = pad_batch(batch, args.batch_size)
         e = forward(
             params, batch_stats,
             jnp.asarray(batch["imgs_gray_patch"]), jnp.asarray(batch["pt_set"]),
         )
-        errs.extend(np.asarray(jax.device_get(e)).tolist())
-        names.extend(batch["video_names"])
+        errs.extend(np.asarray(jax.device_get(e))[:n_valid].tolist())
+        names.extend(batch["video_names"][:n_valid])
 
     report = category_report(bucket_by_category(errs, names, seed_zero=args.seed_zero))
     logger.info(" ".join(f"{k}:{v:.4f}" for k, v in report.items()))

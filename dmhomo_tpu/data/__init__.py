@@ -1,9 +1,12 @@
 """Host-side data pipeline: DGM conditions, generated-shard IO, HEM datasets."""
 
 from dmhomo_tpu.data.conditions import (
+    TRAIN_CATEGORIES,
     build_condition,
     flow_to_rgb_np,
     morph_close_mask,
+    pair_name_to_class,
+    prefix2label,
 )
 from dmhomo_tpu.data.shards import (
     save_generation_shard,
@@ -21,7 +24,10 @@ from dmhomo_tpu.data.hem_data import (
 from dmhomo_tpu.data.loader import DataLoader
 
 __all__ = [
+    "TRAIN_CATEGORIES",
     "build_condition",
+    "pair_name_to_class",
+    "prefix2label",
     "flow_to_rgb_np",
     "morph_close_mask",
     "save_generation_shard",

@@ -110,6 +110,30 @@ class DataLoader:
             raise err[0]
 
 
+def pad_batch(batch: dict, batch_size: int):
+    """Pad a ragged tail batch up to `batch_size` by repeating its last
+    element, so one jitted eval program serves every batch on any mesh size
+    (no recompiles, no non-divisible shardings).  Array values are padded
+    along axis 0; list values (names) are extended.  Returns
+    (padded_batch, n_valid); slice outputs back to n_valid."""
+    n = None
+    for v in batch.values():
+        n = len(v) if isinstance(v, list) else v.shape[0]
+        break
+    assert n is not None and n <= batch_size, (n, batch_size)
+    if n == batch_size:
+        return batch, n
+    pad = batch_size - n
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, list):
+            out[k] = v + [v[-1]] * pad
+        else:
+            reps = np.repeat(v[-1:], pad, axis=0)
+            out[k] = np.concatenate([v, reps], axis=0)
+    return out, n
+
+
 def cycle(loader) -> Iterator:
     """Endless batch stream (the reference's `cycle`, train.py:194)."""
     while True:

@@ -86,12 +86,15 @@ class HEMTrainer:
             )(state["params"], state["batch_stats"], batch)
             updates, opt_state = self.tx.update(grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
+            new_step = state["step"] + 1
             new_state = {
                 "params": params,
                 "batch_stats": new_stats,
                 "opt_state": opt_state,
-                "step": state["step"] + 1,
-                "epoch": state["epoch"],
+                "step": new_step,
+                # epoch-equivalent counter: the reference's per-epoch
+                # ExponentialLR staircase (HEM/train.py:91-99) ticks here
+                "epoch": new_step // self.steps_per_epoch,
             }
             scalars = {k: v for k, v in losses.items()}
             return new_state, scalars
@@ -138,16 +141,21 @@ class HEMTrainer:
         if self._eval_forward is None:
             self._eval_forward = self._build_eval_forward(cfg.estimator.ori_size)
         self.metrics.reset(split)
+        from dmhomo_tpu.data.loader import pad_batch
+
         errs, names = [], []
         for batch in eval_batches:
+            # pad-and-mask ragged tails: one jit program per split, and the
+            # batch stays divisible by the mesh's 'data' axis
+            batch, n_valid = pad_batch(batch, cfg.eval_batch_size)
             e = self._eval_forward(
                 self.state["params"],
                 self.state["batch_stats"],
                 jnp.asarray(batch["imgs_gray_patch"]),
                 jnp.asarray(batch["pt_set"]),
             )
-            errs.extend(np.asarray(jax.device_get(e)).tolist())
-            names.extend(batch["video_names"])
+            errs.extend(np.asarray(jax.device_get(e))[:n_valid].tolist())
+            names.extend(batch["video_names"][:n_valid])
         buckets = bucket_by_category(errs, names)
         # pod runs: reduce numeric per-category (sum, count) across hosts -
         # the accelerate.gather replacement (hem_evaluate.py:132-151); each

@@ -64,3 +64,69 @@ def test_dgm_sample_cli_restore_and_previews(tmp_path):
     assert buf["homo12"].shape == (3, 3)
     gifs = glob.glob(os.path.join(gif_dir, "*.gif"))
     assert len(gifs) == len(shards)
+
+
+def _write_fake_cahomo(root, n_pairs=11, hw=(40, 72)):
+    """Minimal CAHomo test layout: test.txt + img/ + pt/*.npy."""
+    import cv2
+
+    rng = np.random.default_rng(7)
+    vids = ["0000011", "0000038", "0000085", "00000244", "00000104"]
+    os.makedirs(os.path.join(root, "pt"), exist_ok=True)
+    lines = []
+    for i in range(n_pairs):
+        vid = vids[i % len(vids)]
+        d = os.path.join(root, "img", vid)
+        os.makedirs(d, exist_ok=True)
+        n1, n2 = f"p{i}_1.jpg", f"p{i}_2.jpg"
+        for n in (n1, n2):
+            cv2.imwrite(os.path.join(d, n),
+                        rng.integers(0, 255, (*hw, 3)).astype(np.uint8))
+        pts = rng.uniform(2, min(hw) - 2, (6, 2, 2)).astype(np.float32)
+        np.save(os.path.join(root, "pt", f"{n1}_{n2}.npy"),
+                {"matche_pts": pts}, allow_pickle=True)
+        lines.append(f"{vid}/{n1} {vid}/{n2}")
+    with open(os.path.join(root, "test.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_hem_eval_cli_ragged_tail(tmp_path):
+    """hem_eval CLI on a fabricated CAHomo layout with a ragged tail batch:
+    the padded forward must compile once and report finite categories."""
+    import json
+
+    from dmhomo_tpu.cli import hem_eval
+    from dmhomo_tpu.models import EstimatorConfig, SwinConfig
+    from dmhomo_tpu.train.config import HEMTrainConfig
+    from dmhomo_tpu.train.hem_trainer import HEMTrainer
+
+    data = str(tmp_path / "CAHomo")
+    _write_fake_cahomo(data, n_pairs=11)
+
+    model_dir = str(tmp_path / "exp")
+    os.makedirs(model_dir)
+    with open(os.path.join(model_dir, "params.json"), "w") as f:
+        json.dump({
+            "crop_size": [32, 64], "ori_size": [40, 72], "embed_dim": 8,
+            "depths": [1, 1, 1], "layer_depth": [3, 2, 1], "num_heads": [2, 2, 4],
+            "window_size": 4, "mlp_ratio": 2.0,
+        }, f)
+
+    swin = SwinConfig(crop_size=(32, 64), embed_dim=8, depths=(1, 1, 1),
+                      layer_depth=(3, 2, 1), num_heads=(2, 2, 4), window_size=4,
+                      mlp_ratio=2.0)
+    cfg = HEMTrainConfig(
+        estimator=EstimatorConfig(crop_size=(32, 64), ori_size=(40, 72), swin=swin),
+        model_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = HEMTrainer(cfg)
+    trainer.init_state()
+    trainer.save(tag="best")
+
+    report = hem_eval.main([
+        "--test-data", data, "--model-dir", model_dir,
+        "--ckpt", os.path.join(str(tmp_path / "ckpt"), "best"),
+        "--batch-size", "8",
+    ])
+    assert set(report) == {"RE", "LT", "LL", "SF", "LF", "AVG"}
+    assert np.isfinite(report["AVG"])

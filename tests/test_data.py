@@ -195,3 +195,41 @@ def test_condition_cache_roundtrip(tmp_path, rng):
     assert cond.shape == (32, 32, 12) and cls == 1
     batch, classes = cache.batch([0, 2])
     assert batch.shape == (2, 32, 32, 12)
+
+
+def test_prefix2label_tables():
+    """Scene-class mapping over representative train video ids
+    (denoising_diffusion_pytorch.py:991-1042,1080-1091)."""
+    from dmhomo_tpu.data import TRAIN_CATEGORIES, pair_name_to_class, prefix2label
+
+    assert prefix2label("000004") == 0      # RE
+    assert prefix2label("0000032") == 1     # LT
+    assert prefix2label("0000071") == 2     # LL
+    assert prefix2label("000001") == 3      # SF
+    assert prefix2label("000005") == 4      # LF
+    # every id maps to its own category's label; no id in two categories
+    for label, (cat, ids) in enumerate(TRAIN_CATEGORIES.items()):
+        for vid in ids:
+            assert prefix2label(vid) == label, (cat, vid)
+    assert sum(len(v) for v in TRAIN_CATEGORIES.values()) == 218
+    # pair-name parsing: dir prefix before the first underscore (:1105)
+    assert pair_name_to_class("00000105_000012_00000105_000016") == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        prefix2label("9999999")
+
+
+def test_condition_cache_derives_classes_from_pair_names(tmp_path, rng):
+    def gen():
+        for name in ("000004_000001_000004_000005", "0000071_000001_0000071_000003"):
+            yield (
+                rng.uniform(0, 1, (64, 64, 3)).astype(np.float32),
+                rng.uniform(0, 1, (64, 64, 3)).astype(np.float32),
+                np.ones((64, 64), np.float32),
+                _mild_h(rng),
+                name,
+            )
+
+    cache = ConditionCache.build(str(tmp_path / "c2"), gen(), image_size=32, src_hw=(64, 64))
+    assert list(cache.classes) == [0, 2]

@@ -258,3 +258,38 @@ def test_maybe_initialize_distributed_noop(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     distributed._INITIALIZED = False
     assert distributed.maybe_initialize_distributed() is False
+
+
+def test_hem_eval_ragged_tail_matches_unpadded():
+    """Pad-and-mask eval: a ragged tail batch must (a) reuse the same jit
+    program (no recompile, mesh-divisible shapes) and (b) report exactly the
+    errors of an unpadded whole-split forward."""
+    from dmhomo_tpu.evaluation import bucket_by_category, category_report, point_matching_error
+    from dmhomo_tpu.models.estimator import upsample_outputs
+
+    cfg = _tiny_hem_config(eval_batch_size=8)
+    trainer = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=10)
+    trainer.init_state()
+    rng = np.random.default_rng(1)
+    N = 11  # 8 + ragged 3
+    imgs = rng.normal(0, 1, (N, 32, 64, 2)).astype(np.float32)
+    pts = rng.uniform(2, 30, (N, 6, 2, 2)).astype(np.float32)
+    names = ["0000011"] * 5 + ["0000038"] * 6
+
+    batches = [
+        {"imgs_gray_patch": imgs[:8], "pt_set": pts[:8], "video_names": names[:8]},
+        {"imgs_gray_patch": imgs[8:], "pt_set": pts[8:], "video_names": names[8:]},
+    ]
+    report = trainer.evaluate(iter(batches))
+
+    # unpadded ground truth: one unsharded forward over all 11 samples
+    params = jax.device_get(trainer.state["params"])
+    stats = jax.device_get(trainer.state["batch_stats"])
+    out = trainer.model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(imgs), train=False
+    )
+    full = upsample_outputs(out, cfg.estimator.ori_size)
+    ref_errs = np.asarray(point_matching_error(jnp.asarray(pts), full["flow_f"], full["flow_b"]))
+    ref_report = category_report(bucket_by_category(ref_errs.tolist(), names))
+    for k in ("RE", "LT", "AVG"):
+        np.testing.assert_allclose(report[k], ref_report[k], rtol=1e-4)

@@ -2,9 +2,12 @@
 
 Measures the reference's primary performance target (SURVEY.md 3.2 /
 BASELINE.md): conditional DDIM sampling at the shipped config - UNet dim=64
-@ 256^2, s_step=32, CFG scale 3 (so 64 UNet evaluations per image pair),
-bs=25 - plus the dense flow->homography fit, i.e. everything
-`trainer.sample` + `saveTrainPair` do per batch.
+@ 256^2, s_step=32, CFG scale 3 (so 64 UNet evaluations per image pair) -
+plus the dense flow->homography fit, i.e. everything `trainer.sample` +
+`saveTrainPair` do per batch.  bs=64 (vs the reference's 25): the chip-
+optimal batch found by the r2 sweep (throughput saturates at the CFG-
+doubled B=128 forward; B=256 exceeds 16 GB HBM) - shards carry the same
+per-sample format regardless of batch.
 
 Baseline: the reference runs this on one RTX 2080 Ti (README.md:13-14) but
 publishes no throughput number, so we derive one.  XLA cost analysis of
@@ -40,7 +43,7 @@ def main():
     from dmhomo_tpu.models import ConditionalUNet, UNetConfig
     from dmhomo_tpu.models.unet import make_unet_apply
 
-    B, S, S_STEP = 25, 256, 32
+    B, S, S_STEP = 64, 256, 32
     unet_cfg = UNetConfig(dim=64, num_classes=1, dtype=jnp.bfloat16)
     model = ConditionalUNet(unet_cfg)
     gd = GaussianDiffusion(
@@ -84,7 +87,7 @@ def main():
 
     samples_per_sec = B / dt
     print(json.dumps({
-        "metric": "DGM generation samples/sec/chip (bs=25, s_step=32, CFG, 256^2, + H-fit)",
+        "metric": "DGM generation samples/sec/chip (bs=64, s_step=32, CFG, 256^2, + H-fit)",
         "value": round(samples_per_sec, 3),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_2080TI_SAMPLES_PER_SEC, 2),

@@ -41,10 +41,9 @@ class UNetConfig:
     attn_heads: int = 4
     attn_dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
-    # use the fused Pallas linear-attention kernel (auto-disabled by the
-    # trainer when its mesh runs on CPU devices, where only interpret mode
-    # exists; the module-level fallback also triggers on a CPU default
-    # backend or ragged shapes)
+    # use the block-diagonal fused linear attention (TPU-tuned pure-XLA,
+    # runs and differentiates on every backend); False selects the naive
+    # per-head jnp formulation (the parity oracle)
     fused_attention: bool = True
     # rematerialize each ResnetBlock/attention in the backward pass - trades
     # ~30% step FLOPs for activation memory (the reference burns ~300 GB for
@@ -166,9 +165,9 @@ class _ConvKernel(nn.Module):
 class LinearAttention(nn.Module):
     """Efficient attention: softmax(q over d) . (softmax(k over n) v^T).
 
-    The qkv projection + softmaxes + contraction run through the fused
-    Pallas kernel on TPU (dmhomo_tpu.ops.linear_attention), falling back to
-    the identical jnp formulation on CPU / ragged shapes.
+    The per-head softmaxes + contractions run through the block-diagonal
+    XLA formulation (dmhomo_tpu.ops.linear_attention) - full 128-lane
+    tensors, MXU matmuls for the per-head structure, native autodiff.
     """
 
     dim: int
@@ -220,6 +219,39 @@ class Attention(nn.Module):
         out = jnp.einsum("bhij,bjhd->bihd", attn, v)
         out = out.reshape(B, H, W, hidden)
         return nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
+
+
+class NearestUpConv(nn.Module):
+    """nearest x2 upsample + conv3x3, fused into ONE lhs-dilated conv.
+
+    `repeat(x, 2x2) -> conv3x3(SAME)` is algebraically a stride-2 transposed
+    conv whose 4x4 kernel is the separable per-axis expansion
+    [w0, w0+w1, w1+w2, w2] of the 3x3 kernel - so the 4x-size nearest-up
+    intermediate never touches HBM (measured 2.05x on v5e, BENCH.md).
+    Parameters stay the reference (3,3,in,out) kernel + bias, so torch
+    importers and checkpoints are unchanged (ref Upsample, :106-107)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, in_ch, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        def expand(w, axis):
+            w0, w1, w2 = jnp.take(w, 0, axis), jnp.take(w, 1, axis), jnp.take(w, 2, axis)
+            return jnp.stack([w0, w0 + w1, w1 + w2, w2], axis=axis)
+
+        w4 = expand(expand(kernel.astype(self.dtype), 0), 1)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w4, (1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
 
 
 class PreNormResidual(nn.Module):
@@ -318,10 +350,9 @@ class ConditionalUNet(nn.Module):
                 name=f"up_{i}_attn_wrap",
             )(x)
             if not is_last:
-                # nearest x2 upsample + conv3x3 (ref Upsample :106-107)
-                B, H, W, C = x.shape
-                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-                x = nn.Conv(dim_in, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(x)
+                # nearest x2 upsample + conv3x3 (ref Upsample :106-107),
+                # fused into one lhs-dilated conv (NearestUpConv)
+                x = NearestUpConv(dim_in, dtype=dt, name=f"up_{i}_upsample")(x)
             else:
                 x = nn.Conv(dim_in, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(x)
 

@@ -25,6 +25,7 @@ from dmhomo_tpu.models.unet import (
     Attention,
     ChannelLayerNorm,
     LinearAttention,
+    NearestUpConv,
     PreNormResidual,
     ResnetBlock,
     SinusoidalPosEmb,
@@ -138,8 +139,8 @@ class UncondUNet(nn.Module):
                 dtype=dt, name=f"up_{i}_attn_wrap",
             )(x)
             if not is_last:
-                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-                x = nn.Conv(dim_in, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(x)
+                # nearest x2 + conv3x3 fused (see unet.NearestUpConv)
+                x = NearestUpConv(dim_in, dtype=dt, name=f"up_{i}_upsample")(x)
             else:
                 x = nn.Conv(dim_in, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(x)
 

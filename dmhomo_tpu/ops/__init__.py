@@ -1,5 +1,13 @@
-"""Pallas TPU kernels for the hot ops."""
+"""TPU-tuned hot ops (XLA block-diagonal attention + reference Pallas kernel)."""
 
-from dmhomo_tpu.ops.linear_attention import fused_linear_attention
+from dmhomo_tpu.ops.linear_attention import (
+    blockdiag_linear_attention,
+    fused_linear_attention,
+    pallas_linear_attention,
+)
 
-__all__ = ["fused_linear_attention"]
+__all__ = [
+    "blockdiag_linear_attention",
+    "fused_linear_attention",
+    "pallas_linear_attention",
+]

@@ -79,11 +79,6 @@ class DGMTrainer:
         unet_cfg = config.unet
         if config.bf16 and unet_cfg.dtype != jnp.bfloat16:
             unet_cfg = dataclasses.replace(unet_cfg, dtype=jnp.bfloat16)
-        # Pallas kernels have no compiled CPU backend - fall back to the jnp
-        # attention when this trainer's mesh lives on CPU devices (virtual
-        # multi-chip dry runs, tests)
-        if all(d.platform == "cpu" for d in self.mesh.devices.flat):
-            unet_cfg = dataclasses.replace(unet_cfg, fused_attention=False)
         self.model = ConditionalUNet(unet_cfg)
         self.gd = GaussianDiffusion(make_unet_apply(self.model), config.diffusion)
         self.tx = optax.chain(

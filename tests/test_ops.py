@@ -1,4 +1,6 @@
-"""Pallas fused-linear-attention kernel tests (interpret mode on CPU)."""
+"""Linear-attention op tests: block-diagonal XLA path (the production op)
+vs the naive jnp reference, plus the retained Pallas kernel in interpret
+mode."""
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +11,9 @@ from dmhomo_tpu.ops.linear_attention import (
     _fused_forward,
     _pick_tile,
     _ref_linear_attention,
+    blockdiag_linear_attention,
     fused_linear_attention,
+    pallas_linear_attention,
 )
 
 
@@ -22,8 +26,46 @@ def test_pick_tile():
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_kernel_matches_reference_interpret(rng, dtype):
-    """The actual Pallas kernel logic (interpret mode) vs the jnp reference."""
+def test_blockdiag_matches_reference(rng, dtype):
+    """The production op (block-diagonal formulation) vs the jnp reference."""
+    B, N, C, H, D = 2, 512, 32, 4, 32
+    x = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rng.normal(0, 0.1, (C, 3 * H * D)).astype(np.float32))
+    out = blockdiag_linear_attention(x, w, H, D)
+    ref = _ref_linear_attention(x, w, H, D)
+    atol = 1e-6 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol
+    )
+
+
+def test_blockdiag_ragged_and_odd_shapes(rng):
+    """No tiling constraint: any (B, N, C) works, incl. ragged N."""
+    for B, N, C, H, D in ((1, 100, 16, 2, 16), (3, 257, 24, 4, 8)):
+        x = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
+        w = jnp.asarray(rng.normal(0, 0.1, (C, 3 * H * D)).astype(np.float32))
+        out = fused_linear_attention(x, w, H, D)
+        ref = _ref_linear_attention(x, w, H, D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_blockdiag_gradients_match_reference(rng):
+    """Native autodiff through the block-diagonal form equals the reference
+    gradient (replaces the old custom_vjp recompute)."""
+    B, N, C, H, D = 1, 256, 16, 2, 16
+    x = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (C, 3 * H * D)).astype(np.float32))
+
+    gx, gw = jax.grad(lambda x, w: fused_linear_attention(x, w, H, D).sum(), (0, 1))(x, w)
+    gx_r, gw_r = jax.grad(lambda x, w: _ref_linear_attention(x, w, H, D).sum(), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=1e-5)
+    assert float(jnp.abs(gw).max()) > 0
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_pallas_kernel_matches_reference_interpret(rng, dtype):
+    """The retained Pallas kernel logic (interpret mode) vs the reference."""
     B, N, C, H, D = 2, 512, 32, 4, 32
     x = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32)).astype(dtype)
     w = jnp.asarray(rng.normal(0, 0.1, (C, 3 * H * D)).astype(np.float32))
@@ -35,7 +77,7 @@ def test_kernel_matches_reference_interpret(rng, dtype):
     )
 
 
-def test_kernel_tile_invariance(rng):
+def test_pallas_kernel_tile_invariance(rng):
     """Different tile sizes give identical results (online-softmax combine)."""
     B, N, C, H, D = 1, 1024, 16, 2, 16
     x = jnp.asarray(rng.normal(0, 2, (B, N, C)).astype(np.float32))
@@ -45,26 +87,11 @@ def test_kernel_tile_invariance(rng):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
 
 
-def test_public_entry_falls_back_on_cpu(rng):
-    """On the CPU backend the public op must route to the jnp reference."""
-    B, N, C, H, D = 1, 256, 16, 2, 16
+def test_pallas_entry_ragged_fallback(rng):
+    """pallas_linear_attention falls back to the reference on ragged N."""
+    B, N, C, H, D = 1, 100, 16, 2, 16
     x = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
     w = jnp.asarray(rng.normal(0, 0.1, (C, 3 * H * D)).astype(np.float32))
-    out = fused_linear_attention(x, w, H, D)
+    out = pallas_linear_attention(x, w, H, D)
     ref = _ref_linear_attention(x, w, H, D)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
-
-
-def test_gradients_flow_through_custom_vjp(rng):
-    B, N, C, H, D = 1, 256, 16, 2, 16
-    x = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
-    w = jnp.asarray(rng.normal(0, 0.1, (C, 3 * H * D)).astype(np.float32))
-
-    def loss(w):
-        return fused_linear_attention(x, w, H, D).sum()
-
-    g = jax.grad(loss)(w)
-    # must equal the reference gradient exactly (bwd recomputes the ref)
-    g_ref = jax.grad(lambda w: _ref_linear_attention(x, w, H, D).sum())(w)
-    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-6)
-    assert float(jnp.abs(g).max()) > 0

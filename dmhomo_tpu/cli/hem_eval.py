@@ -25,6 +25,9 @@ def main(argv=None):
     parser.add_argument("--out-json", type=str, default=None)
     parser.add_argument("--seed-zero", action="store_true",
                         help="reproduce the reference's biased category lists")
+    parser.add_argument("--mask-vis", type=str, default=None, metavar="DIR",
+                        help="dump per-category qualitative panels/GIFs "
+                        "(HEM/evaluate.py::mask_vis)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -70,6 +73,19 @@ def main(argv=None):
         full = upsample_outputs(out, full_hw)
         return point_matching_error(pt_set, full["flow_f"], full["flow_b"])
 
+    vis_forward = None
+    if args.mask_vis:
+        from dmhomo_tpu.evaluation.mask_vis import mask_vis_categories
+
+        @jax.jit
+        def vis_forward(params, batch_stats, patch):
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              patch, train=False)
+            full = upsample_outputs(out, full_hw)
+            return {k: full[k] for k in ("flow_b", "mask_f", "mask_b")}
+
+        vis_counts = {}
+
     from dmhomo_tpu.data.loader import pad_batch
 
     errs, names = [], []
@@ -82,6 +98,16 @@ def main(argv=None):
         )
         errs.extend(np.asarray(jax.device_get(e))[:n_valid].tolist())
         names.extend(batch["video_names"][:n_valid])
+        if vis_forward is not None:
+            outs = jax.device_get(
+                vis_forward(params, batch_stats, jnp.asarray(batch["imgs_gray_patch"]))
+            )
+            mask_vis_categories(
+                {k: (v[:n_valid] if not isinstance(v, list) else v[:n_valid])
+                 for k, v in batch.items()},
+                {k: np.asarray(v)[:n_valid] for k, v in outs.items()},
+                args.mask_vis, counts=vis_counts,
+            )
 
     report = category_report(bucket_by_category(errs, names, seed_zero=args.seed_zero))
     logger.info(" ".join(f"{k}:{v:.4f}" for k, v in report.items()))

@@ -27,6 +27,11 @@ def main(argv=None):
     parser.add_argument("--torch-ckpt", type=str, default=None, help="init from HEM .pth")
     parser.add_argument("--steps", type=int, default=0, help="override total steps")
     parser.add_argument("--tiny", action="store_true", help="tiny config for smoke tests")
+    parser.add_argument(
+        "--host-pipeline", action="store_true",
+        help="build gray/flow batches on the host (the parity path) instead "
+        "of the default device pipeline (raw uint8 + H to the chip)",
+    )
     parser.add_argument("--out", type=str, default="experiments/hem")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -73,6 +78,7 @@ def main(argv=None):
         train_ds = HEMTrainDataset(
             args.samples, crop_size=crop, ori_size=ori, rho=rho,
             rng=np.random.default_rng(args.seed),
+            device_pipeline=not args.host_pipeline,
         )
     elif args.synthetic:
         train_ds = SyntheticHomoPairs(

@@ -20,6 +20,7 @@ from dmhomo_tpu.data.hem_data import (
     SyntheticHomoPairs,
     MEAN_I,
     STD_I,
+    device_build_patches,
 )
 from dmhomo_tpu.data.loader import DataLoader
 
@@ -40,4 +41,5 @@ __all__ = [
     "MEAN_I",
     "STD_I",
     "DataLoader",
+    "device_build_patches",
 ]

@@ -46,6 +46,51 @@ def normalize_gray(img_u8: np.ndarray) -> np.ndarray:
     return np.mean(img, axis=2, keepdims=True).astype(np.float32)
 
 
+def device_build_patches(img12_u8, homo, homo_inv, start, crop_size, ori_size):
+    """In-graph (jit-able) twin of HEMTrainDataset.__getitem__'s heavy path.
+
+    Takes the raw uint8 pairs + ori-coordinate homographies + crop starts
+    that `HEMTrainDataset(device_pipeline=True)` ships (0.4 KB of host work
+    per sample instead of ~9 ms of cv2/numpy) and produces the training
+    batch on the TPU: half-pixel bilinear resize to ori_size, gray
+    normalization, dense GT flows from H / H^-1, and the random crops.
+
+    img12_u8: (B, 6, S, S) uint8; homo/homo_inv: (B, 3, 3) in ori coords;
+    start: (B, 2) int32 (x, y).  Returns the minimal train batch dict.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dmhomo_tpu.geometry.homography import homography_to_flow
+    from dmhomo_tpu.geometry.warp import resize_bilinear
+
+    ph, pw = crop_size
+    oh, ow = ori_size
+    B = img12_u8.shape[0]
+
+    imgs = jnp.transpose(img12_u8, (0, 2, 3, 1)).astype(jnp.float32)  # (B,S,S,6)
+    if imgs.shape[1:3] != (oh, ow):
+        imgs = resize_bilinear(imgs, (oh, ow))
+    mean = jnp.asarray(MEAN_I.ravel(), jnp.float32)
+    std = jnp.asarray(STD_I.ravel(), jnp.float32)
+    g1 = jnp.mean((imgs[..., :3] - mean) / std, axis=-1, keepdims=True)
+    g2 = jnp.mean((imgs[..., 3:] - mean) / std, axis=-1, keepdims=True)
+    gray = jnp.concatenate([g1, g2], axis=-1)  # (B, oh, ow, 2)
+
+    flow_f = homography_to_flow(homo.astype(jnp.float32), oh, ow, eps=1e-8)
+    flow_b = homography_to_flow(homo_inv.astype(jnp.float32), oh, ow, eps=1e-8)
+    flows = jnp.concatenate([flow_b, flow_f], axis=-1)  # (B, oh, ow, 4)
+
+    def crop(arr, s):
+        return jax.lax.dynamic_slice(arr, (s[1], s[0], 0), (ph, pw, arr.shape[-1]))
+
+    start = start.astype(jnp.int32)
+    return {
+        "imgs_gray_patch": jax.vmap(crop)(gray, start),
+        "flow_gt_patch": jax.vmap(crop)(flows, start),
+    }
+
+
 class HEMTrainDataset:
     """Generated-pair training set over per-sample npys."""
 
@@ -57,6 +102,8 @@ class HEMTrainDataset:
         rho: int = 16,
         rng: Optional[np.random.Generator] = None,
         limit: Optional[int] = None,
+        minimal: bool = False,
+        device_pipeline: bool = False,
     ):
         self.paths = sorted(glob.glob(os.path.join(samples_dir, "*.npy")))
         if limit:
@@ -69,6 +116,14 @@ class HEMTrainDataset:
         )
         self.rho = max(0, min(rho, max_rho))
         self.rng = rng or np.random.default_rng()
+        # minimal=True returns only what the jitted train step consumes
+        # (imgs_gray_patch + flow_gt_patch) - the full-res extras roughly
+        # triple the per-sample host time (BENCH.md loader breakdown)
+        self.minimal = minimal
+        # device_pipeline=True ships raw uint8 + H + crop start and leaves
+        # resize/gray/flow-render to `device_build_patches` inside the
+        # jitted train step - the host does ~0.2 ms/sample instead of ~9
+        self.device_pipeline = device_pipeline
 
     def __len__(self):
         return len(self.paths)
@@ -79,18 +134,30 @@ class HEMTrainDataset:
         buf = load_sample(self.paths[idx])
         img12 = buf["img12"]  # (6, S, S) uint8 CHW
         homo = np.asarray(buf["homo12"], np.float64)
+        oh, ow = self.ori_size
+        ph_, pw_ = self.crop_size
+
+        if self.device_pipeline:
+            h, w = img12.shape[1:]
+            H = homo if (h, w) == (oh, ow) else rescale_homography_np(homo, (h, w), (oh, ow))
+            x = int(self.rng.integers(self.rho, ow - self.rho - pw_ + 1))
+            y = int(self.rng.integers(self.rho, oh - self.rho - ph_ + 1))
+            return {
+                "img12": img12,
+                "homo": H.astype(np.float32),
+                "homo_inv": np.linalg.inv(H).astype(np.float32),
+                "start": np.asarray([x, y], np.int32),
+            }
+
         img1 = img12[:3].transpose(1, 2, 0)
         img2 = img12[3:].transpose(1, 2, 0)
         h, w = img1.shape[:2]
-        oh, ow = self.ori_size
 
         if (h, w) != (oh, ow):
             homo = rescale_homography_np(homo, (h, w), (oh, ow))
             img1 = cv2.resize(img1, (ow, oh))
             img2 = cv2.resize(img2, (ow, oh))
         homo_inv = np.linalg.inv(homo)
-
-        imgs_rgb_full = np.concatenate([img1, img2], axis=2).astype(np.float32) / 255.0
 
         g1 = normalize_gray(img1)
         g2 = normalize_gray(img2)
@@ -104,17 +171,22 @@ class HEMTrainDataset:
         flow_f_patch = flow_f[y : y + ph, x : x + pw]
         flow_b_patch = flow_b[y : y + ph, x : x + pw]
 
-        return {
-            "imgs_gray_full": np.concatenate([g1, g2], axis=2),
+        out = {
             "imgs_gray_patch": np.concatenate(
                 [g1[y : y + ph, x : x + pw], g2[y : y + ph, x : x + pw]], axis=2
             ),
-            "flow_gt_full": np.concatenate([flow_b, flow_f], axis=2),
             "flow_gt_patch": np.concatenate([flow_b_patch, flow_f_patch], axis=2),
             "start": np.asarray([x, y], np.float32),
-            "imgs_rgb_full": imgs_rgb_full,
-            "ganhomo_mask": np.ones((ph, pw, 1), np.float32),
         }
+        if self.minimal:
+            return out
+        out.update({
+            "imgs_gray_full": np.concatenate([g1, g2], axis=2),
+            "flow_gt_full": np.concatenate([flow_b, flow_f], axis=2),
+            "imgs_rgb_full": np.concatenate([img1, img2], axis=2).astype(np.float32) / 255.0,
+            "ganhomo_mask": np.ones((ph, pw, 1), np.float32),
+        })
+        return out
 
 
 class CAHomoTestDataset:

@@ -5,6 +5,12 @@ each host slices the index space by (shard_index, num_shards) - the
 jax.process_index()-based data sharding of a TPU pod - shuffles its slice
 per epoch, collates numpy dicts and prefetches batches on a background
 thread so condition building overlaps device step time.
+
+Workers: `num_workers` threads (fine when the per-item work releases the
+GIL) or true processes with `use_processes=True` - the torch
+`DataLoader(num_workers)` equivalent, needed when numpy-heavy __getitem__
+code serializes on the GIL.  Worker processes are forked before any jax
+usage in them; they run only numpy/cv2.
 """
 
 from __future__ import annotations
@@ -14,6 +20,23 @@ import threading
 from typing import Iterator, Optional
 
 import numpy as np
+
+_WORKER_DS = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+    try:  # avoid cv2-internal thread pools x process pool oversubscription
+        import cv2
+
+        cv2.setNumThreads(1)
+    except Exception:
+        pass
+
+
+def _worker_get(idx):
+    return _WORKER_DS[idx]
 
 
 def _collate(items):
@@ -39,6 +62,7 @@ class DataLoader:
         num_shards: int = 1,
         prefetch: int = 2,
         num_workers: int = 0,
+        use_processes: bool = False,
     ):
         assert 0 <= shard_index < num_shards
         self.dataset = dataset
@@ -50,7 +74,38 @@ class DataLoader:
         self.num_shards = num_shards
         self.prefetch = prefetch
         self.num_workers = num_workers
+        self.use_processes = use_processes
         self.epoch = 0
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None:
+            if self.use_processes:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+
+                self._pool = ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=mp.get_context("fork"),
+                    initializer=_worker_init,
+                    initargs=(self.dataset,),
+                )
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(self.num_workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -68,12 +123,11 @@ class DataLoader:
         idx = self._indices()
         nb = len(self)
         if self.num_workers > 0:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
-                    sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    yield _collate(list(pool.map(self.dataset.__getitem__, sel)))
+            pool = self._get_pool()
+            fetch = _worker_get if self.use_processes else self.dataset.__getitem__
+            for b in range(nb):
+                sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                yield _collate(list(pool.map(fetch, (int(i) for i in sel))))
         else:
             for b in range(nb):
                 sel = idx[b * self.batch_size : (b + 1) * self.batch_size]

@@ -148,6 +148,34 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     return jnp.einsum("pw,bowc->bopc", Mw, y, precision=hi)
 
 
+@functools.lru_cache(maxsize=128)
+def _half_pixel_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix for align_corners=False (half-pixel) bilinear -
+    the cv2.resize(INTER_LINEAR) / F.interpolate(align_corners=False)
+    convention, taps edge-clamped."""
+    M = np.zeros((n_out, n_in), dtype=np.float32)
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(src).astype(np.int64)
+    frac = (src - lo).astype(np.float32)
+    lo_c = np.clip(lo, 0, n_in - 1)
+    hi_c = np.clip(lo + 1, 0, n_in - 1)
+    M[np.arange(n_out), lo_c] += 1.0 - frac
+    M[np.arange(n_out), hi_c] += frac
+    return M
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Half-pixel bilinear resize on NHWC (cv2 INTER_LINEAR semantics for
+    float inputs), as two separable matmuls."""
+    _, H, W, _ = x.shape
+    oh, ow = out_hw
+    Mh = jnp.asarray(_half_pixel_matrix(H, oh), dtype=x.dtype)
+    Mw = jnp.asarray(_half_pixel_matrix(W, ow), dtype=x.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,bhwc->bowc", Mh, x, precision=hi)
+    return jnp.einsum("pw,bowc->bopc", Mw, y, precision=hi)
+
+
 def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     """torch F.interpolate(mode='nearest') on NHWC: src = floor(i * in/out)."""
     _, H, W, _ = x.shape

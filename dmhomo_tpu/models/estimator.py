@@ -67,10 +67,10 @@ class FlowMaskEstimator(nn.Module):
             y = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i + 1}")(x)
             y = nn.leaky_relu(y, 0.1)
             x = jnp.concatenate([y, x], axis=-1)
-        out = nn.Conv(1, (3, 3), padding=1, dtype=jnp.float32, name="conv_last")(
-            x.astype(jnp.float32)
-        )
-        return nn.sigmoid(out)
+        # conv in the activation dtype (upcasting the 82-ch concat to fp32
+        # costs ~3 GB of backward HBM at bs=32); the 1-ch logit goes fp32
+        out = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="conv_last")(x)
+        return nn.sigmoid(out.astype(jnp.float32))
 
 
 def _normalize_fusion(mask_fusion: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +117,8 @@ class HomographyEstimator(nn.Module):
         f2_warp = warp_by_flow(f2, flow_f, mode="collapse")
         f1_warp = warp_by_flow(f1, flow_b, mode="collapse")
 
-        mask_net = FlowMaskEstimator(dtype=cfg.dtype, name="mask_generator")
+        MaskNet = nn.remat(FlowMaskEstimator) if cfg.swin.remat else FlowMaskEstimator
+        mask_net = MaskNet(dtype=cfg.dtype, name="mask_generator")
         mask_f = mask_net(jnp.concatenate([f1, f2_warp], axis=-1))
         mask_b = mask_net(jnp.concatenate([f2, f1_warp], axis=-1))
 

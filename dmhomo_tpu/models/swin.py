@@ -49,6 +49,10 @@ class SwinConfig:
     mlp_ratio: float = 3.0
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # rematerialize each SwinBlock in the backward pass: the window-attention
+    # (nW*B, heads, 64, 64) matrices dominate training HBM (a full-config
+    # bs=32 fp32 step wants 84 GB without it - BENCH.md)
+    remat: bool = False
 
     @property
     def num_layers(self) -> int:
@@ -253,14 +257,16 @@ class BasicLayer(nn.Module):
     mlp_ratio: float
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        Blk = nn.remat(SwinBlock) if self.remat else SwinBlock
         for l in range(self.layer_depth):
             res = (self.input_resolution[0] // 2**l, self.input_resolution[1] // 2**l)
             dim = self.dim * 2**l
             for i in range(self.depth):
-                x = SwinBlock(
+                x = Blk(
                     dim=dim,
                     input_resolution=res,
                     num_heads=self.num_heads,
@@ -403,7 +409,11 @@ class SwinTransformer(nn.Module):
                 flow_l = upsample_flow_to(flow, (h_x, w_x), scale=True)
                 x2_warp = warp_by_flow(x2, flow_l, mode="collapse")
 
-            tok = jnp.concatenate([x1, x2_warp], axis=-1).reshape(B, h_x * w_x, -1)
+            # warp_by_flow returns fp32 (geometry precision); the encoder
+            # runs in the activation dtype
+            tok = jnp.concatenate(
+                [x1.astype(dt), x2_warp.astype(dt)], axis=-1
+            ).reshape(B, h_x * w_x, -1)
             enc_idx = nL - l - 1
             tok = BasicLayer(
                 dim=int(cfg.embed_dim * 2**enc_idx),
@@ -418,6 +428,7 @@ class SwinTransformer(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias,
                 dtype=dt,
+                remat=cfg.remat,
                 name=f"encoder_{enc_idx}",
             )(tok, train)
 

@@ -8,6 +8,7 @@ from dmhomo_tpu.parallel.mesh import (
     shard_batch,
     host_shard_info,
 )
+from dmhomo_tpu.parallel.tp import channel_shardings
 
 __all__ = [
     "maybe_initialize_distributed",
@@ -16,4 +17,5 @@ __all__ = [
     "replicated",
     "shard_batch",
     "host_shard_info",
+    "channel_shardings",
 ]

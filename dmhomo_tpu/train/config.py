@@ -65,6 +65,9 @@ class DGMTrainConfig:
     results_dir: str = "results"
     seed: int = 0
     bf16: bool = True  # compute dtype on TPU (params stay fp32)
+    # shard params/Adam moments/EMA channel-wise over the mesh's 'model'
+    # axis (parallel/tp.py); no-op on a model-axis-1 mesh
+    shard_params: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +86,11 @@ class HEMTrainConfig:
     major_metric: str = "AVG"
     model_dir: str = "experiments/hem"
     seed: int = 0
+    # TPU training knobs (the reference trains fp32 on GPUs): bf16
+    # activations (params/norm stats stay fp32) and SwinBlock remat - the
+    # full-config fp32 bs=32 backward wants 84 GB HBM without them (BENCH.md)
+    bf16: bool = True
+    remat: bool = True
 
     @staticmethod
     def stage2(**overrides) -> "HEMTrainConfig":

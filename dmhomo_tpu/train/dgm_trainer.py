@@ -26,7 +26,13 @@ import optax
 from dmhomo_tpu.diffusion import GaussianDiffusion
 from dmhomo_tpu.models import ConditionalUNet
 from dmhomo_tpu.models.unet import make_unet_apply
-from dmhomo_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from dmhomo_tpu.parallel import (
+    batch_sharding,
+    channel_shardings,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
 from dmhomo_tpu.train.config import DGMTrainConfig
 from dmhomo_tpu.train.ema import EMAState, ema_init, ema_update
 from dmhomo_tpu.utils import get_logger, load_checkpoint, save_checkpoint
@@ -86,9 +92,10 @@ class DGMTrainer:
             optax.adam(config.lr, b1=config.adam_b1, b2=config.adam_b2),
         )
         self.logger = get_logger("dgm")
-        self._train_step = self._build_train_step()
+        self._train_step = None  # built after init_state (needs shardings)
         self._sample = None
         self.state = None
+        self.state_shardings = None
 
     # -- state --------------------------------------------------------------
 
@@ -111,9 +118,16 @@ class DGMTrainer:
             "ema": ema_init(params),
             "step": jnp.zeros((), jnp.int32),
         }
-        rep = replicated(self.mesh)
-        self.state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+        self.state_shardings = self._state_shardings(state)
+        self.state = jax.tree.map(jax.device_put, state, self.state_shardings)
         return self.state
+
+    def _state_shardings(self, state):
+        """Replicated, or channel-sharded over 'model' when configured."""
+        if self.config.shard_params and self.mesh.shape.get("model", 1) > 1:
+            return channel_shardings(state, self.mesh)
+        rep = replicated(self.mesh)
+        return jax.tree.map(lambda _: rep, state)
 
     # -- step ---------------------------------------------------------------
 
@@ -161,15 +175,19 @@ class DGMTrainer:
 
         data_sh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
+        st_sh = self.state_shardings
         return jax.jit(
             step_fn,
-            in_shardings=(rep, data_sh, data_sh, rep),
-            out_shardings=(rep, rep),
+            in_shardings=(st_sh, data_sh, data_sh, rep),
+            out_shardings=(st_sh, rep),
             donate_argnums=(0,),
         )
 
     def train_step(self, batch_img: np.ndarray, classes: np.ndarray, key):
         """One optimizer step on a (B, S, S, 12) condition batch."""
+        if self._train_step is None:
+            assert self.state is not None, "call init_state()/load() first"
+            self._train_step = self._build_train_step()
         batch = shard_batch(
             {"img": jnp.asarray(batch_img), "cls": jnp.asarray(classes, jnp.int32)},
             self.mesh,
@@ -262,7 +280,6 @@ class DGMTrainer:
             self.init_state()
         target = jax.device_get(self.state)
         restored = load_checkpoint(root, step=step, target=target)
-        rep = replicated(self.mesh)
-        self.state = jax.tree.map(lambda x: jax.device_put(x, rep), restored)
+        self.state = jax.tree.map(jax.device_put, restored, self.state_shardings)
         self.logger.info(f"restored step {int(jax.device_get(self.state['step']))}")
         return self.state

@@ -28,9 +28,19 @@ from dmhomo_tpu.utils import MetricTracker, get_logger, load_checkpoint, save_ch
 
 class HEMTrainer:
     def __init__(self, config: HEMTrainConfig, mesh=None, steps_per_epoch: Optional[int] = None):
+        import dataclasses
+
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = HomographyEstimator(config.estimator)
+        est = config.estimator
+        if config.bf16 and est.dtype != jnp.bfloat16:
+            est = dataclasses.replace(
+                est, dtype=jnp.bfloat16,
+                swin=dataclasses.replace(est.swin, dtype=jnp.bfloat16),
+            )
+        if config.remat and not est.swin.remat:
+            est = dataclasses.replace(est, swin=dataclasses.replace(est.swin, remat=True))
+        self.model = HomographyEstimator(est)
         # ExponentialLR(gamma) stepped per epoch == staircase exp decay
         self.steps_per_epoch = steps_per_epoch or config.train_num_steps
         schedule = optax.exponential_decay(
@@ -43,6 +53,7 @@ class HEMTrainer:
         self.logger = get_logger("hem")
         self.metrics = MetricTracker(config.major_metric)
         self._train_step = self._build_train_step()
+        self._train_step_raw = None  # device-pipeline variant, built lazily
         self._eval_forward = None
         self.state = None
 
@@ -67,7 +78,7 @@ class HEMTrainer:
 
     # -- train step ---------------------------------------------------------
 
-    def _build_train_step(self):
+    def _build_train_step(self, raw: bool = False):
         cfg = self.config
 
         def loss_fn(params, batch_stats, batch):
@@ -81,6 +92,15 @@ class HEMTrainer:
             return losses["total"], (losses, mutated["batch_stats"])
 
         def step_fn(state, batch):
+            if raw:
+                # device-pipeline batches: resize/gray/flow-render in-graph
+                # (HEMTrainDataset(device_pipeline=True), hem_data.py)
+                from dmhomo_tpu.data.hem_data import device_build_patches
+
+                batch = device_build_patches(
+                    batch["img12"], batch["homo"], batch["homo_inv"],
+                    batch["start"], cfg.estimator.crop_size, cfg.estimator.ori_size,
+                )
             (total, (losses, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state["params"], state["batch_stats"], batch)
@@ -109,6 +129,13 @@ class HEMTrainer:
         )
 
     def train_step(self, batch: dict):
+        if "img12" in batch:  # raw device-pipeline schema
+            if self._train_step_raw is None:
+                self._train_step_raw = self._build_train_step(raw=True)
+            keys = ("img12", "homo", "homo_inv", "start")
+            device_batch = shard_batch({k: jnp.asarray(batch[k]) for k in keys}, self.mesh)
+            self.state, losses = self._train_step_raw(self.state, device_batch)
+            return losses
         device_batch = shard_batch(
             {
                 "imgs_gray_patch": jnp.asarray(batch["imgs_gray_patch"]),

@@ -244,3 +244,29 @@ def test_dgm_trainer_preview(tmp_path):
     import os
 
     assert os.path.exists(path)
+
+
+def test_mask_vis_categories(tmp_path, rng):
+    """Reference-format per-category dumps (HEM/evaluate.py:165-329):
+    5 files per pair under the scene-category subdir; unknown ids skipped."""
+    from dmhomo_tpu.evaluation.mask_vis import mask_vis_categories
+
+    B, H, W = 3, 24, 32
+    batch = {
+        "imgs_rgb_full": rng.uniform(0, 1, (B, H, W, 6)).astype(np.float32),
+        "video_names": ["0000011", "0000038", "zzz_unknown"],
+    }
+    outputs = {
+        "flow_b": rng.normal(0, 2, (B, H, W, 2)).astype(np.float32),
+        "mask_f": rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32),
+        "mask_b": rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32),
+    }
+    counts = {}
+    paths = mask_vis_categories(batch, outputs, str(tmp_path), counts=counts)
+    assert len(paths) == 10  # 2 known ids x 5 files
+    assert counts == {"RE": 1, "LT": 1}
+    import os
+
+    assert all(os.path.exists(p) for p in paths)
+    assert any(os.sep + "RE" + os.sep in p for p in paths)
+    assert any(p.endswith(".gif") for p in paths)

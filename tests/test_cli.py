@@ -123,10 +123,13 @@ def test_hem_eval_cli_ragged_tail(tmp_path):
     trainer.init_state()
     trainer.save(tag="best")
 
+    vis_dir = str(tmp_path / "vis")
     report = hem_eval.main([
         "--test-data", data, "--model-dir", model_dir,
         "--ckpt", os.path.join(str(tmp_path / "ckpt"), "best"),
-        "--batch-size", "8",
+        "--batch-size", "8", "--mask-vis", vis_dir,
     ])
     assert set(report) == {"RE", "LT", "LL", "SF", "LF", "AVG"}
     assert np.isfinite(report["AVG"])
+    gifs = glob.glob(os.path.join(vis_dir, "*", "*.gif"))
+    assert gifs, "no per-category mask_vis GIFs written"

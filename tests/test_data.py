@@ -233,3 +233,82 @@ def test_condition_cache_derives_classes_from_pair_names(tmp_path, rng):
 
     cache = ConditionCache.build(str(tmp_path / "c2"), gen(), image_size=32, src_hw=(64, 64))
     assert list(cache.classes) == [0, 2]
+
+
+def test_device_pipeline_matches_host_pipeline(tmp_path, rng):
+    """`device_build_patches` (in-graph resize/gray/flow/crop) must agree
+    with HEMTrainDataset's host cv2/numpy path on the same crop starts.
+    cv2 resizes uint8 in fixed point, so grays match to ~1/255-scale noise;
+    flows are analytic and match tightly."""
+    from dmhomo_tpu.data import device_build_patches
+
+    imgs = (rng.uniform(0, 255, (4, 6, 32, 32))).astype(np.uint8)
+    homos = np.stack([_mild_h(rng) for _ in range(4)])
+    p = str(tmp_path / "s.npy")
+    save_generation_shard(p, [{"imgs": imgs, "homos": homos}])
+    explode_shards_to_samples([p], str(tmp_path / "samples"))
+
+    kw = dict(crop_size=(32, 64), ori_size=(48, 80), rho=4)
+    host = HEMTrainDataset(str(tmp_path / "samples"), rng=np.random.default_rng(7), **kw)
+    raw = HEMTrainDataset(str(tmp_path / "samples"), rng=np.random.default_rng(7),
+                          device_pipeline=True, **kw)
+
+    h_items = [host[i] for i in range(4)]
+    r_items = [raw[i] for i in range(4)]
+    for h, r in zip(h_items, r_items):
+        np.testing.assert_array_equal(h["start"].astype(np.int32), r["start"])
+
+    batch = device_build_patches(
+        jnp.asarray(np.stack([r["img12"] for r in r_items])),
+        jnp.asarray(np.stack([r["homo"] for r in r_items])),
+        jnp.asarray(np.stack([r["homo_inv"] for r in r_items])),
+        jnp.asarray(np.stack([r["start"] for r in r_items])),
+        kw["crop_size"], kw["ori_size"],
+    )
+    gray_dev = np.asarray(batch["imgs_gray_patch"])
+    flow_dev = np.asarray(batch["flow_gt_patch"])
+    gray_host = np.stack([h["imgs_gray_patch"] for h in h_items])
+    flow_host = np.stack([h["flow_gt_patch"] for h in h_items])
+    assert np.abs(gray_dev - gray_host).max() < 0.03
+    np.testing.assert_allclose(flow_dev, flow_host, atol=2e-3)
+
+
+def test_hem_trainer_accepts_device_pipeline_batches(tmp_path, rng):
+    """The raw-schema train step (in-graph preprocessing) runs and its loss
+    is close to the host-schema step on the equivalent batch."""
+    import dataclasses as dc
+
+    from dmhomo_tpu.models import EstimatorConfig, SwinConfig
+    from dmhomo_tpu.train.config import HEMTrainConfig
+    from dmhomo_tpu.train.hem_trainer import HEMTrainer
+
+    imgs = (rng.uniform(0, 255, (8, 6, 32, 32))).astype(np.uint8)
+    homos = np.stack([_mild_h(rng) for _ in range(8)])
+    p = str(tmp_path / "s.npy")
+    save_generation_shard(p, [{"imgs": imgs, "homos": homos}])
+    explode_shards_to_samples([p], str(tmp_path / "samples"))
+
+    swin = SwinConfig(crop_size=(32, 64), embed_dim=8, depths=(1, 1, 1),
+                      layer_depth=(3, 2, 1), num_heads=(2, 2, 4), window_size=4,
+                      mlp_ratio=2.0)
+    cfg = HEMTrainConfig(
+        estimator=EstimatorConfig(crop_size=(32, 64), ori_size=(40, 72), swin=swin),
+        train_batch_size=8, bf16=False, remat=False,
+    )
+    kw = dict(crop_size=(32, 64), ori_size=(40, 72), rho=4)
+    host = HEMTrainDataset(str(tmp_path / "samples"), rng=np.random.default_rng(3), **kw)
+    raw = HEMTrainDataset(str(tmp_path / "samples"), rng=np.random.default_rng(3),
+                          device_pipeline=True, **kw)
+    from dmhomo_tpu.data.loader import _collate
+
+    host_b = _collate([host[i] for i in range(8)])
+    raw_b = _collate([raw[i] for i in range(8)])
+
+    tr1 = HEMTrainer(cfg)
+    tr1.init_state(seed=0)
+    l_host = {k: float(v) for k, v in tr1.train_step(host_b).items()}
+    tr2 = HEMTrainer(cfg)
+    tr2.init_state(seed=0)
+    l_raw = {k: float(v) for k, v in tr2.train_step(raw_b).items()}
+    assert np.isfinite(l_raw["total"])
+    np.testing.assert_allclose(l_raw["total"], l_host["total"], rtol=0.05)

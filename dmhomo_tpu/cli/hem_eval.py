@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument("--out-json", type=str, default=None)
     parser.add_argument("--seed-zero", action="store_true",
                         help="reproduce the reference's biased category lists")
+    parser.add_argument("--category-set", choices=("eval", "test"), default="eval",
+                        help="'eval' = hem_evaluate.py lists (default); 'test' = "
+                        "the test() twin's lists ('0000030' under SF, "
+                        "HEM/evaluate.py:341-346)")
     parser.add_argument("--mask-vis", type=str, default=None, metavar="DIR",
                         help="dump per-category qualitative panels/GIFs "
                         "(HEM/evaluate.py::mask_vis)")
@@ -103,13 +107,17 @@ def main(argv=None):
                 vis_forward(params, batch_stats, jnp.asarray(batch["imgs_gray_patch"]))
             )
             mask_vis_categories(
-                {k: (v[:n_valid] if not isinstance(v, list) else v[:n_valid])
-                 for k, v in batch.items()},
+                {k: v[:n_valid] for k, v in batch.items()},
                 {k: np.asarray(v)[:n_valid] for k, v in outs.items()},
                 args.mask_vis, counts=vis_counts,
             )
 
-    report = category_report(bucket_by_category(errs, names, seed_zero=args.seed_zero))
+    from dmhomo_tpu.evaluation.metrics import TEST_CATEGORIES, TEST_CATEGORIES_TESTFN
+
+    cats = TEST_CATEGORIES_TESTFN if args.category_set == "test" else TEST_CATEGORIES
+    report = category_report(
+        bucket_by_category(errs, names, categories=cats, seed_zero=args.seed_zero)
+    )
     logger.info(" ".join(f"{k}:{v:.4f}" for k, v in report.items()))
     print(json.dumps(report))
     if args.out_json:

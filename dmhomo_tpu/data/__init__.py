@@ -22,6 +22,7 @@ from dmhomo_tpu.data.hem_data import (
     STD_I,
     device_build_patches,
 )
+from dmhomo_tpu.data.image_data import CifarDataset, GHOFTestDataset
 from dmhomo_tpu.data.loader import DataLoader
 
 __all__ = [
@@ -42,4 +43,6 @@ __all__ = [
     "STD_I",
     "DataLoader",
     "device_build_patches",
+    "CifarDataset",
+    "GHOFTestDataset",
 ]

@@ -35,6 +35,14 @@ TEST_CATEGORIES: Dict[str, tuple] = {
     "LF": ("00000104", "0000031", "0000035", "00000129", "00000141", "00000200"),
 }
 
+# the `test()` twin uses slightly different lists: '0000030' only in SF
+# (HEM/evaluate.py:341-346) - so it scores under SF instead of RE
+TEST_CATEGORIES_TESTFN: Dict[str, tuple] = {
+    **TEST_CATEGORIES,
+    "RE": ("0000011", "0000016", "00000147", "00000155", "00000158", "00000107",
+           "00000239"),
+}
+
 
 def point_matching_error(
     pt_set: jnp.ndarray, flow_f: jnp.ndarray, flow_b: jnp.ndarray

@@ -19,12 +19,14 @@ from dmhomo_tpu.geometry.homography import (
     rescale_homography,
     dlt_solve_4pt,
     homography_from_points,
+    homography_from_points_ax0,
     fit_homography_to_flow,
 )
 from dmhomo_tpu.geometry.warp import (
     bilinear_sample,
     warp_by_flow,
     warp_by_homography,
+    resize_bilinear,
     resize_bilinear_align_corners,
     resize_nearest,
     upsample_flow_to,
@@ -44,10 +46,12 @@ __all__ = [
     "rescale_homography",
     "dlt_solve_4pt",
     "homography_from_points",
+    "homography_from_points_ax0",
     "fit_homography_to_flow",
     "bilinear_sample",
     "warp_by_flow",
     "warp_by_homography",
+    "resize_bilinear",
     "resize_bilinear_align_corners",
     "resize_nearest",
     "upsample_flow_to",

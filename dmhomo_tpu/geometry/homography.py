@@ -195,6 +195,27 @@ def homography_from_points(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     return H / H[..., 2:3, 2:3]
 
 
+def homography_from_points_ax0(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Null-space (Ax0) DLT via SVD - the reference `DLT(method='Ax0')`
+    (HEM/model/utils.py:86-92): H is the smallest right singular vector of
+    the homogeneous (..., 2N, 9) system.  Same solution space as the
+    Axb/least-squares variants on consistent data; Hartley-normalized here
+    for fp32 conditioning.  Output scaled to H[2,2]=1."""
+    src_n, T_src = _normalize_points(src)
+    dst_n, T_dst = _normalize_points(dst)
+    A8, b = _dlt_system(src_n, dst_n)
+    # reference column layout [M1 | -M2 | -M3] == [A8 | -b]
+    A9 = jnp.concatenate([A8, -b[..., None]], axis=-1)  # (..., 2N, 9)
+    _, _, vt = jnp.linalg.svd(A9, full_matrices=True)
+    h9 = vt[..., -1, :]
+    Hn = h9.reshape(*h9.shape[:-1], 3, 3)
+    hi = jax.lax.Precision.HIGHEST
+    H = jnp.matmul(
+        jnp.matmul(jnp.linalg.inv(T_dst), Hn, precision=hi), T_src, precision=hi
+    )
+    return H / H[..., 2:3, 2:3]
+
+
 def fit_homography_to_flow(flow: jnp.ndarray) -> jnp.ndarray:
     """Fit one H per batch item to a dense flow field.
 

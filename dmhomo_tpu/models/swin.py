@@ -141,41 +141,90 @@ class Mlp(nn.Module):
 
 
 class WindowAttention(nn.Module):
+    """W-MSA over ws*ws-token windows (ref swin_multi.py:330-430).
+
+    Two equivalent formulations (same params, same math):
+    * packed=True: the per-head structure lives in the LANE dim - sim is
+      (Bn, N, heads*N) via a block-expanded K', the per-head softmax
+      normalizer comes from one thin matmul (a global row max is
+      softmax-invariant per head-block), and the context matmul uses a
+      block-expanded V'.  Everything stays 128-lane-aligned and no
+      (Bn, heads, N, N) fp32 tensor is materialized - but measured
+      TRAFFIC-NEUTRAL on v5e (the block expansions move as many bytes as
+      the naive layout saves; 20.5 vs 19.8 ms at the shipped stage-0 shape,
+      BENCH.md), so the simpler naive path stays the default.
+    * packed=False (default): the naive (Bn, heads, N, N) einsum.
+    """
+
     dim: int
     window_size: int
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         Bn, N, C = x.shape  # N = ws*ws
         ws = self.window_size
-        hd = self.dim // self.num_heads
+        h = self.num_heads
+        hd = self.dim // h
+        dt = self.dtype
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(Bn, N, 3, self.num_heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, h, d)
-        q = q * (hd**-0.5)
-        attn = jnp.einsum("bihd,bjhd->bhij", q, k)
-
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=dt, name="qkv")(x)
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
-            ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
+            ((2 * ws - 1) * (2 * ws - 1), h),
         )
         idx = jnp.asarray(relative_position_index(ws).reshape(-1))
-        bias = table[idx].reshape(N, N, self.num_heads).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        bias_ijh = table[idx].reshape(N, N, h)  # (i, j, head)
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(Bn // nW, nW, self.num_heads, N, N) + mask[None, :, None]
-            attn = attn.reshape(Bn, self.num_heads, N, N)
+        if self.packed:
+            q, k, v = jnp.split(qkv, 3, axis=-1)  # (Bn, N, C), channels (h, d)
+            q = q * (hd**-0.5)
+            head_of_c = np.arange(C) // hd
+            bm = jnp.asarray(
+                (head_of_c[:, None] == np.arange(h)[None, :]).astype(np.float32)
+            ).astype(dt)  # (C, h)
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(Bn, N, C)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            # K'[b, c, (g, j)] = k[b, j, c] * [head(c) == g]
+            kt = jnp.swapaxes(k, 1, 2)  # (Bn, C, N)
+            Kp = (kt[:, :, None, :] * bm[None, :, :, None]).reshape(Bn, C, h * N)
+            sim = jnp.einsum("bic,bcl->bil", q, Kp,
+                             preferred_element_type=jnp.float32)  # (Bn, N, h*N)
+            # bias packed to lanes (g, j)
+            sim = sim + bias_ijh.transpose(0, 2, 1).reshape(N, h * N)[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                mp = jnp.tile(jnp.asarray(mask), (1, 1, h))  # (nW, N, h*N), g-major
+                sim = (sim.reshape(Bn // nW, nW, N, h * N) + mp[None]).reshape(
+                    Bn, N, h * N
+                )
+            # a global row max shifts every head-block by the same constant
+            m = jnp.max(sim, axis=-1, keepdims=True)
+            e = jnp.exp(sim - m).astype(dt)
+            M3 = jnp.asarray(np.repeat(np.eye(h, dtype=np.float32), N, axis=0)).astype(dt)
+            s3 = jnp.einsum("bil,lg->big", e, M3,
+                            preferred_element_type=jnp.float32)  # (Bn, N, h)
+            # V'[b, (g, j), c] = v[b, j, c] * [head(c) == g]
+            Vp = (v[:, None, :, :] * bm.T[None, :, None, :]).reshape(Bn, h * N, C)
+            out = jnp.einsum("bil,blc->bic", e, Vp,
+                             preferred_element_type=jnp.float32)  # (Bn, N, C)
+            out = (out / jnp.repeat(s3, hd, axis=-1)).astype(dt)
+        else:
+            qkv = qkv.reshape(Bn, N, 3, h, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, h, d)
+            q = q * (hd**-0.5)
+            attn = jnp.einsum("bihd,bjhd->bhij", q, k)
+            attn = attn + bias_ijh.transpose(2, 0, 1)[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None]
+                attn = attn.reshape(Bn, h, N, N)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dt)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(Bn, N, C)
+        return nn.Dense(self.dim, dtype=dt, name="proj")(out)
 
 
 class SwinBlock(nn.Module):

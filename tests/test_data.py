@@ -312,3 +312,36 @@ def test_hem_trainer_accepts_device_pipeline_batches(tmp_path, rng):
     l_raw = {k: float(v) for k, v in tr2.train_step(raw_b).items()}
     assert np.isfinite(l_raw["total"])
     np.testing.assert_allclose(l_raw["total"], l_host["total"], rtol=0.05)
+
+
+def test_cifar_dataset(tmp_path, rng):
+    """CIFAR pickle-batch reader (denoising_diffusion_pytorch.py:820-871)."""
+    import pickle
+
+    from dmhomo_tpu.data import CifarDataset
+
+    for i in range(1, 6):
+        data = rng.integers(0, 255, (4, 3 * 32 * 32)).astype(np.uint8)
+        with open(tmp_path / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": [0] * 4}, f)
+    ds = CifarDataset(str(tmp_path), image_size=16, rng=np.random.default_rng(0))
+    assert len(ds) == 20
+    img = ds[3]
+    assert img.shape == (16, 16, 3) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_ghof_test_dataset(tmp_path, rng):
+    """GHOF npy reader (denoising_diffusion_pytorch.py:874-911)."""
+    from dmhomo_tpu.data import GHOFTestDataset
+
+    samples = np.asarray(
+        [{"img1": rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)} for _ in range(3)],
+        dtype=object,
+    )
+    p = str(tmp_path / "ghof.npy")
+    np.save(p, samples, allow_pickle=True)
+    ds = GHOFTestDataset(p, image_size=32, rng=np.random.default_rng(0))
+    assert len(ds) == 3
+    img = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.float32

@@ -347,3 +347,39 @@ def test_jit_compatibility():
 
     out = fn(H, img)
     assert np.isfinite(float(out))
+
+
+def test_homography_from_points_ax0_matches_reference_svd(rng):
+    """Ax0 (SVD null-space) DLT == the reference DLT(method='Ax0')
+    (HEM/model/utils.py:86-92) and recovers an exact H from >=4 points."""
+    import torch
+
+    from dmhomo_tpu.geometry import homography_from_points_ax0
+
+    H_true = np.eye(3) + rng.normal(0, 0.05, (3, 3))
+    H_true[2, :2] *= 1e-3
+    H_true /= H_true[2, 2]
+    src = rng.uniform(0, 100, (1, 6, 2)).astype(np.float64)
+    ones = np.ones((1, 6, 1))
+    dh = np.concatenate([src, ones], axis=-1) @ H_true.T
+    dst = dh[..., :2] / dh[..., 2:]
+
+    ours = np.asarray(
+        homography_from_points_ax0(
+            jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32)
+        )
+    )[0]
+    np.testing.assert_allclose(ours, H_true, atol=2e-3)
+
+    # golden: the reference's torch implementation (unnormalized, fp64)
+    xy1 = torch.cat([torch.tensor(src), torch.ones(1, 6, 1, dtype=torch.float64)], -1)
+    zeros = torch.zeros(1, 6, 3, dtype=torch.float64)
+    M1 = torch.cat([torch.cat([xy1, zeros], -1), torch.cat([zeros, xy1], -1)], -1).view(1, -1, 6)
+    t_dst = torch.tensor(dst)
+    M2 = torch.matmul(t_dst.reshape(-1, 2, 1), torch.tensor(src).reshape(-1, 1, 2)).view(1, -1, 2)
+    M3 = t_dst.reshape(1, -1, 1)
+    A = torch.cat([M1, -M2, -M3], -1)
+    _, _, V = torch.svd(A)
+    Href = V.transpose(-2, -1).conj()[:, -1].view(3, 3)
+    Href = (Href / Href[2, 2]).numpy()
+    np.testing.assert_allclose(ours, Href, atol=2e-3)

@@ -157,3 +157,12 @@ def test_bucket_sums_empty_category():
     np.testing.assert_allclose(sums[0], [4.0, 2.0])
     merged = merge_bucket_sums(sums[None])
     assert merged["RE"] == [2.0] * 2 and merged["LT"] == []
+
+
+def test_testfn_category_lists_move_0000030_to_sf():
+    """The test() twin's lists (HEM/evaluate.py:341-346): '0000030' scores
+    under SF instead of RE (no duplicate membership)."""
+    from dmhomo_tpu.evaluation.metrics import TEST_CATEGORIES_TESTFN
+
+    b = bucket_by_category([7.0], ["0000030"], categories=TEST_CATEGORIES_TESTFN)
+    assert b["SF"] == [7.0] and b["RE"] == []

@@ -219,3 +219,26 @@ def test_swin_full_config_compiles():
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
     n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(variables))
     assert 0.5e6 < n < 20e6, f"estimator params {n/1e6:.2f}M out of range"
+
+
+def test_window_attention_packed_matches_naive(rng):
+    """The lane-packed W-MSA formulation == the naive per-head einsum,
+    with and without the SW-MSA additive mask (fp32)."""
+    from dmhomo_tpu.models.swin import WindowAttention, shifted_window_mask
+
+    Bn, ws, h = 6, 4, 3
+    N, C = ws * ws, 12
+    x = jnp.asarray(rng.normal(0, 1, (Bn, N, C)).astype(np.float32))
+
+    packed = WindowAttention(C, ws, h, packed=True)
+    naive = WindowAttention(C, ws, h, packed=False)
+    params = packed.init(jax.random.PRNGKey(0), x)["params"]
+
+    o_p = packed.apply({"params": params}, x)
+    o_n = naive.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_n), atol=1e-5)
+
+    mask = jnp.asarray(shifted_window_mask(8, 12, ws, 2))  # (nW=6, N, N)
+    o_pm = packed.apply({"params": params}, x, mask)
+    o_nm = naive.apply({"params": params}, x, mask)
+    np.testing.assert_allclose(np.asarray(o_pm), np.asarray(o_nm), atol=1e-5)

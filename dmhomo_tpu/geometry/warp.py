@@ -36,17 +36,18 @@ def _gather_hw(img_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda im, ix: jnp.take(im, ix, axis=0))(img_flat, idx)
 
 
-def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray, mode: str = "collapse") -> jnp.ndarray:
-    """Sample ``img`` at pixel ``coords``.
+def _taps_and_weights(img_hw, coords, mode: str, wdt):
+    """Per-axis taps and separable bilinear weights for both warp modes.
 
-    img: (B, H, W, C); coords: (B, h, w, 2) of (x, y) pixel positions.
-    Returns (B, h, w, C).
+    The 4-tap weights factorize per axis (wa = wx0*wy0, wb = wx0*wy1,
+    wc = wx1*wy0, wd = wx1*wy1) for both boundary semantics, which is what
+    lets the warp run as two dense interpolation matmuls.
+    Returns int32 taps (x0i, x1i, y0i, y1i) and weights (wx0, wx1, wy0, wy1),
+    all shaped like coords[..., 0].
     """
-    B, H, W, C = img.shape
-    _, h, w, _ = coords.shape
-    x = coords[..., 0].reshape(B, -1)
-    y = coords[..., 1].reshape(B, -1)
-
+    H, W = img_hw
+    x = coords[..., 0]
+    y = coords[..., 1]
     if mode == "border":
         x = jnp.clip(x, 0.0, W - 1.0)
         y = jnp.clip(y, 0.0, H - 1.0)
@@ -68,14 +69,25 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray, mode: str = "collapse
     else:
         # HEM `_interpolate` semantics: weights from the *clamped* tap
         # positions against the raw coordinate (zero-collapse outside).
-        x0f = x0i.astype(img.dtype)
-        x1f = x1i.astype(img.dtype)
-        y0f = y0i.astype(img.dtype)
-        y1f = y1i.astype(img.dtype)
-    wa = (x1f - x) * (y1f - y)
-    wb = (x1f - x) * (y - y0f)
-    wc = (x - x0f) * (y1f - y)
-    wd = (x - x0f) * (y - y0f)
+        x0f = x0i.astype(wdt)
+        x1f = x1i.astype(wdt)
+        y0f = y0i.astype(wdt)
+        y1f = y1i.astype(wdt)
+    return x0i, x1i, y0i, y1i, x1f - x, x - x0f, y1f - y, y - y0f
+
+
+def _bilinear_sample_gather(img, coords, mode):
+    """4-tap gather formulation (the reference semantics, kept as the
+    parity oracle).  On the TPU XLA lowers these gathers to ~0.3 GB/s
+    row-fetch loops (BENCH.md gather shootout) - use the matmul path there."""
+    B, H, W, C = img.shape
+    _, h, w, _ = coords.shape
+    x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1 = jax.tree.map(
+        lambda a: a.reshape(B, -1),
+        _taps_and_weights((H, W), coords, mode, img.dtype),
+    )
+    wa, wb = wx0 * wy0, wx0 * wy1
+    wc, wd = wx1 * wy0, wx1 * wy1
 
     flat = img.reshape(B, H * W, C)
     Ia = _gather_hw(flat, y0i * W + x0i)
@@ -87,6 +99,80 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray, mode: str = "collapse
         wa[..., None] * Ia + wb[..., None] * Ib + wc[..., None] * Ic + wd[..., None] * Id
     )
     return out.reshape(B, h, w, C)
+
+
+def _bilinear_sample_matmul(img, coords, mode):
+    """Bilinear warp as two dense one-hot-weighted interpolation matmuls.
+
+    TPU-native formulation: per output-row chunk, build the vertical
+    interpolation matrix U (B, ch, w, H) and horizontal V (B, ch, w, W)
+    from iota comparisons (2 nonzeros per row), contract U with the image
+    on the MXU, then reduce against V.  ~8x faster than the 4-tap gather
+    on v5e (47 vs 370 ms at (32, 320, 576); BENCH.md) and the backward is
+    matmuls instead of scatter-adds.  fp32 inputs run at HIGHEST precision
+    (exact); bf16 inputs at the activation width.
+    """
+    B, H, W, C = img.shape
+    _, h, w, _ = coords.shape
+    f32 = img.dtype == jnp.float32
+    wdt = jnp.float32 if f32 else img.dtype
+    prec = jax.lax.Precision.HIGHEST if f32 else None
+    x0i, x1i, y0i, y1i, wx0, wx1, wy0, wy1 = _taps_and_weights(
+        (H, W), coords, mode, jnp.float32
+    )
+
+    # chunk output rows so the (B, ch, w, W, C) middle stays bounded
+    budget = 256 * 2**20
+    bytes_per_row = B * w * W * C * (4 if f32 else 2)
+    ch = max(1, min(h, budget // max(bytes_per_row, 1)))
+    while h % ch:
+        ch -= 1
+    ih = jnp.arange(H, dtype=jnp.int32)
+    iw = jnp.arange(W, dtype=jnp.int32)
+    imgw = img.astype(wdt)
+
+    def one_chunk(c):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * ch, ch, axis=1)
+        U = (
+            sl(wy0)[..., None] * (sl(y0i)[..., None] == ih)
+            + sl(wy1)[..., None] * (sl(y1i)[..., None] == ih)
+        ).astype(wdt)  # (B, ch, w, H)
+        V = (
+            sl(wx0)[..., None] * (sl(x0i)[..., None] == iw)
+            + sl(wx1)[..., None] * (sl(x1i)[..., None] == iw)
+        ).astype(wdt)  # (B, ch, w, W)
+        T = jnp.einsum("bpwh,bhvc->bpwvc", U, imgw, precision=prec)
+        return jnp.einsum("bpwvc,bpwv->bpwc", T, V, precision=prec)
+
+    if ch == h:
+        out = one_chunk(0)
+    else:
+        # checkpoint the chunk body: the scan backward would otherwise
+        # stack every chunk's U/V/T residuals (n x 100 MB-class buffers);
+        # recomputing them from iota comparisons is nearly free
+        out = jax.lax.map(jax.checkpoint(one_chunk), jnp.arange(h // ch))
+        out = jnp.moveaxis(out, 0, 1).reshape(B, h, w, C)  # (n,B,ch,w,C) -> rows
+    return out.astype(img.dtype)
+
+
+def bilinear_sample(
+    img: jnp.ndarray, coords: jnp.ndarray, mode: str = "collapse",
+    method: str | None = None,
+) -> jnp.ndarray:
+    """Sample ``img`` at pixel ``coords``.
+
+    img: (B, H, W, C); coords: (B, h, w, 2) of (x, y) pixel positions.
+    Returns (B, h, w, C).  ``method='matmul'`` (default) runs the
+    MXU-friendly interpolation-matrix formulation; ``method='gather'``
+    the 4-tap gather oracle (identical math).  The DMHOMO_WARP_METHOD
+    env var overrides the default (diagnostics/benchmarks).
+    """
+    import os
+
+    method = method or os.environ.get("DMHOMO_WARP_METHOD", "matmul")
+    if method == "gather":
+        return _bilinear_sample_gather(img, coords, mode)
+    return _bilinear_sample_matmul(img, coords, mode)
 
 
 def warp_by_flow(img: jnp.ndarray, flow: jnp.ndarray, mode: str = "collapse") -> jnp.ndarray:

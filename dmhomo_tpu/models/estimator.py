@@ -114,15 +114,26 @@ class HomographyEstimator(nn.Module):
         flow_f = jnp.einsum("bko,okn->bn", w_f, basis).reshape(B, hp, wp, 2)
         flow_b = jnp.einsum("bko,okn->bn", w_b, basis).reshape(B, hp, wp, 2)
 
-        f2_warp = warp_by_flow(f2, flow_f, mode="collapse")
-        f1_warp = warp_by_flow(f1, flow_b, mode="collapse")
+        # feature/mask warps run in the activation dtype (bf16 configs hit
+        # the fast matmul-warp path; fp32 configs stay exact for parity)
+        import os
+        if os.environ.get("DMHOMO_ABLATE_WARPS") == "1":  # diagnostics only
+            f2_warp, f1_warp = f2.astype(cfg.dtype), f1.astype(cfg.dtype)
+        else:
+            f2_warp = warp_by_flow(f2.astype(cfg.dtype), flow_f, mode="collapse")
+            f1_warp = warp_by_flow(f1.astype(cfg.dtype), flow_b, mode="collapse")
 
         MaskNet = nn.remat(FlowMaskEstimator) if cfg.swin.remat else FlowMaskEstimator
         mask_net = MaskNet(dtype=cfg.dtype, name="mask_generator")
-        mask_f = mask_net(jnp.concatenate([f1, f2_warp], axis=-1))
-        mask_b = mask_net(jnp.concatenate([f2, f1_warp], axis=-1))
+        mask_f = mask_net(jnp.concatenate([f1.astype(cfg.dtype), f2_warp], axis=-1))
+        mask_b = mask_net(jnp.concatenate([f2.astype(cfg.dtype), f1_warp], axis=-1))
 
-        mask_b_warp = jnp.clip(warp_by_flow(mask_b, flow_f, mode="collapse"), 0.0, 1.0)
+        if os.environ.get("DMHOMO_ABLATE_WARPS") == "1":  # diagnostics only
+            mask_b_warp = jnp.clip(mask_b.astype(cfg.dtype), 0.0, 1.0)
+        else:
+            mask_b_warp = jnp.clip(
+                warp_by_flow(mask_b.astype(cfg.dtype), flow_f, mode="collapse"), 0.0, 1.0
+            )
         mask_fusion = _normalize_fusion(mask_b_warp * mask_f)
 
         return {

@@ -24,7 +24,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Sequence
+import os
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -53,6 +54,10 @@ class SwinConfig:
     # (nW*B, heads, 64, 64) matrices dominate training HBM (a full-config
     # bs=32 fp32 step wants 84 GB without it - BENCH.md)
     remat: bool = False
+    # optional jax.checkpoint_policies name (e.g.
+    # 'dots_with_no_batch_dims_saveable': keep Dense/MLP outputs, recompute
+    # only the batched attention einsums) - None = recompute everything
+    remat_policy: Optional[str] = None
 
     @property
     def num_layers(self) -> int:
@@ -212,6 +217,20 @@ class WindowAttention(nn.Module):
             out = jnp.einsum("bil,blc->bic", e, Vp,
                              preferred_element_type=jnp.float32)  # (Bn, N, C)
             out = (out / jnp.repeat(s3, hd, axis=-1)).astype(dt)
+        elif os.environ.get("DMHOMO_LEGACY_WIN_SOFTMAX") == "1":
+            # diagnostic A/B path: data-max softmax with the normalized
+            # attention tensor materialized
+            qkv = qkv.reshape(Bn, N, 3, h, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, h, d)
+            q = q * (hd**-0.5)
+            attn = jnp.einsum("bihd,bjhd->bhij", q, k)
+            attn = attn + bias_ijh.transpose(2, 0, 1)[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None]
+                attn = attn.reshape(Bn, h, N, N)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dt)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(Bn, N, C)
         else:
             qkv = qkv.reshape(Bn, N, 3, h, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, h, d)
@@ -318,10 +337,18 @@ class BasicLayer(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        Blk = nn.remat(SwinBlock) if self.remat else SwinBlock
+        if self.remat:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy else None
+            )
+            Blk = nn.remat(SwinBlock, policy=policy)
+        else:
+            Blk = SwinBlock
         for l in range(self.layer_depth):
             res = (self.input_resolution[0] // 2**l, self.input_resolution[1] // 2**l)
             dim = self.dim * 2**l
@@ -467,7 +494,12 @@ class SwinTransformer(nn.Module):
                     B, cfg.crop_size[0], cfg.crop_size[1], 2
                 )
                 flow_l = upsample_flow_to(flow, (h_x, w_x), scale=True)
-                x2_warp = warp_by_flow(x2, flow_l, mode="collapse")
+                # warp in the activation dtype: bf16 configs take the fast
+                # matmul-warp path, fp32 configs stay exact
+                if os.environ.get("DMHOMO_ABLATE_WARPS") == "1":  # diagnostics
+                    x2_warp = x2.astype(dt)
+                else:
+                    x2_warp = warp_by_flow(x2.astype(dt), flow_l, mode="collapse")
 
             # warp_by_flow returns fp32 (geometry precision); the encoder
             # runs in the activation dtype
@@ -489,6 +521,7 @@ class SwinTransformer(nn.Module):
                 qkv_bias=cfg.qkv_bias,
                 dtype=dt,
                 remat=cfg.remat,
+                remat_policy=cfg.remat_policy,
                 name=f"encoder_{enc_idx}",
             )(tok, train)
 

@@ -85,18 +85,28 @@ class WeightStandardizedConv(nn.Module):
 
 
 class ChannelLayerNorm(nn.Module):
-    """Per-position LayerNorm over channels, learned gain only (ref :131-141)."""
+    """Per-position LayerNorm over channels, learned gain only (ref :131-141).
+
+    ``return_stats=True`` skips materializing the normalized tensor and
+    returns (mean, rstd, gain) instead, so a downstream matmul can fold
+    the normalization into its epilogue:
+        LN(x) @ W  ==  rstd * (x @ (diag(g) W)  -  mean * (g @ W))
+    (exact in reals; the correction runs in fp32 on the MXU's fp32
+    accumulator, so it is also numerically sound)."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stats: bool = False):
         g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = xf.var(axis=-1, keepdims=True)
-        out = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * g
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        if return_stats:
+            return mean, rstd, g
+        out = (xf - mean) * rstd * g
         return out.astype(self.dtype)
 
 
@@ -177,7 +187,7 @@ class LinearAttention(nn.Module):
     fused: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prenorm=None):
         from dmhomo_tpu.ops.linear_attention import (
             _ref_linear_attention,
             fused_linear_attention,
@@ -189,7 +199,11 @@ class LinearAttention(nn.Module):
 
         xf = x.reshape(B, H * W, C)
         if self.fused:
-            out = fused_linear_attention(xf, w_qkv, self.heads, self.dim_head)
+            pn = None
+            if prenorm is not None:
+                mean, rstd, g = prenorm
+                pn = (mean.reshape(B, H * W, 1), rstd.reshape(B, H * W, 1), g)
+            out = fused_linear_attention(xf, w_qkv, self.heads, self.dim_head, prenorm=pn)
         else:
             out = _ref_linear_attention(xf, w_qkv, self.heads, self.dim_head)
         # reference normalizes v by (h*w) == N
@@ -261,7 +275,12 @@ class PreNormResidual(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return self.inner(ChannelLayerNorm(self.dim, self.dtype, name="norm")(x)) + x
+        norm = ChannelLayerNorm(self.dim, self.dtype, name="norm")
+        if isinstance(self.inner, LinearAttention) and self.inner.fused:
+            # fold the pre-norm into the inner qkv projection (stats only;
+            # the normalized tensor never hits HBM - see ChannelLayerNorm)
+            return self.inner(x, prenorm=norm(x, return_stats=True)) + x
+        return self.inner(norm(x)) + x
 
 
 class ConditionalUNet(nn.Module):
@@ -293,8 +312,10 @@ class ConditionalUNet(nn.Module):
 
         cond = jnp.concatenate([t, c], axis=-1).astype(dt)
 
-        # condition concat: (x, rgb_flow * mask) -> 9 channels (ref :430)
-        x = jnp.concatenate([x, rgb_flow * mask], axis=-1).astype(dt)
+        # condition concat: (x, rgb_flow * mask) -> 9 channels (ref :430);
+        # operands cast BEFORE the concat so the 9-ch buffer (and the
+        # CFG-doubled x) is written once in the activation dtype, not fp32
+        x = jnp.concatenate([x.astype(dt), (rgb_flow * mask).astype(dt)], axis=-1)
         x = nn.Conv(dim, (7, 7), padding=3, dtype=dt, name="init_conv")(x)
         r = x
 

@@ -72,17 +72,30 @@ def _head_mask(heads: int, dim_head: int):
     return jnp.asarray(_head_mask_np(heads, dim_head))
 
 
-def blockdiag_linear_attention(x, w_qkv, heads: int = 4, dim_head: int = 32):
+def blockdiag_linear_attention(x, w_qkv, heads: int = 4, dim_head: int = 32,
+                               prenorm=None):
     """x: (B, N, C); w_qkv: (C, 3*heads*dim_head) -> (B, N, heads*dim_head).
 
     Matches `_ref_linear_attention` to fp32 round-off (see module docstring
-    for why this layout is the fast one on TPU)."""
+    for why this layout is the fast one on TPU).
+
+    ``prenorm=(mean, rstd, gain)`` folds a channelwise pre-LayerNorm into
+    the qkv projection: LN(x) @ W == rstd * (x @ (diag(g) W) - mean * (g @ W)).
+    The normalized (B, N, C) tensor is never materialized; the correction
+    is an fp32 elementwise epilogue fused into the projection matmul."""
     B, N, C = x.shape
     hd = heads * dim_head
     dt = x.dtype
     mask = _head_mask(heads, dim_head)
 
-    qkv = jnp.einsum("bnc,ck->bnk", x, w_qkv.astype(dt))
+    if prenorm is None:
+        qkv = jnp.einsum("bnc,ck->bnk", x, w_qkv.astype(dt))
+    else:
+        mean, rstd, g = prenorm  # (B,N,1) fp32, (B,N,1) fp32, (C,) fp32
+        wg = (w_qkv * g[:, None]).astype(dt)
+        u = g @ w_qkv  # (3*hd,) fp32
+        a = jnp.einsum("bnc,ck->bnk", x, wg, preferred_element_type=jnp.float32)
+        qkv = ((a - mean * u[None, None, :]) * rstd).astype(dt)
     q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, hd) each
 
     # k-softmax over N: per-(h,d) column, naturally lane-parallel.
@@ -115,10 +128,11 @@ def blockdiag_linear_attention(x, w_qkv, heads: int = 4, dim_head: int = 32):
     return num / jnp.repeat(den, dim_head, axis=-1)
 
 
-def fused_linear_attention(x, w_qkv, heads: int = 4, dim_head: int = 32):
+def fused_linear_attention(x, w_qkv, heads: int = 4, dim_head: int = 32,
+                           prenorm=None):
     """The production path: block-diagonal XLA formulation on every backend
     (kept under the historical name; natively differentiable)."""
-    return blockdiag_linear_attention(x, w_qkv, heads, dim_head)
+    return blockdiag_linear_attention(x, w_qkv, heads, dim_head, prenorm=prenorm)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,17 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     BS = 32
     cfg = HEMTrainConfig()
+    if len(sys.argv) > 2:  # optional jax.checkpoint_policies name
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            estimator=dataclasses.replace(
+                cfg.estimator,
+                swin=dataclasses.replace(cfg.estimator.swin, remat_policy=sys.argv[2]),
+            ),
+        )
+        print("remat_policy:", sys.argv[2])
     trainer = HEMTrainer(cfg, steps_per_epoch=1000)
     trainer.init_state()
     ph, pw = cfg.estimator.crop_size
@@ -44,13 +55,12 @@ def main():
             return losses["total"]
 
         p, bs_ = trainer.state["params"], trainer.state["batch_stats"]
-        v = fwd(p, bs_, imgs)
-        jax.block_until_ready(v)
-        iters = 8
+        v = float(jax.device_get(fwd(p, bs_, imgs)))
+        iters = 6
         t0 = time.time()
         for i in range(iters):
-            v = fwd(p, bs_, imgs + v * 1e-6)  # chain on the loss scalar
-        jax.block_until_ready(v)
+            # per-call host readback (see step mode)
+            v = float(jax.device_get(fwd(p, bs_, imgs + i * 1e-6)))
         dt = (time.time() - t0) / iters
         print(f"HEM fwd+loss bs={BS}: {dt*1e3:.0f} ms ({BS/dt:.1f} pairs/s)")
 
@@ -64,9 +74,12 @@ def main():
             b = dict(batch)
             b["imgs_gray_patch"] = imgs + float(i) * 1e-6
             losses = trainer.train_step(b)
-        jax.block_until_ready(losses["total"])
+            # per-call host readback: the relay can otherwise report
+            # chained dispatches as done long before the chip is (BENCH.md)
+            lv = float(jax.device_get(losses["total"]))
         dt = (time.time() - t0) / iters
-        print(f"HEM train step bs={BS}: {dt*1e3:.0f} ms ({BS/dt:.1f} pairs/s)")
+        print(f"HEM train step bs={BS}: {dt*1e3:.0f} ms "
+              f"({BS/dt:.1f} pairs/s, loss {lv:.4f})")
 
 
 if __name__ == "__main__":

@@ -383,3 +383,20 @@ def test_homography_from_points_ax0_matches_reference_svd(rng):
     Href = V.transpose(-2, -1).conj()[:, -1].view(3, 3)
     Href = (Href / Href[2, 2]).numpy()
     np.testing.assert_allclose(ours, Href, atol=2e-3)
+
+
+def test_bilinear_sample_matmul_matches_gather(rng):
+    """The MXU interpolation-matrix warp == the 4-tap gather oracle,
+    both boundary modes, C=1 and C=3, including out-of-range coords."""
+    from dmhomo_tpu.geometry.warp import bilinear_sample
+
+    B, H, W = 2, 20, 28
+    for C in (1, 3):
+        img = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(-4, max(H, W) + 3, (B, 15, 17, 2)).astype(np.float32)
+        )
+        for mode in ("border", "collapse"):
+            a = bilinear_sample(img, coords, mode=mode, method="matmul")
+            b = bilinear_sample(img, coords, mode=mode, method="gather")
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

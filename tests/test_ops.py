@@ -95,3 +95,22 @@ def test_pallas_entry_ragged_fallback(rng):
     out = pallas_linear_attention(x, w, H, D)
     ref = _ref_linear_attention(x, w, H, D)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_blockdiag_prenorm_fold_matches_explicit_ln(rng):
+    """Folding a channelwise pre-LayerNorm into the qkv projection
+    (prenorm=(mean, rstd, gain)) equals normalizing first: LN(x) @ W ==
+    rstd * (x @ diag(g)W - mean * (g @ W))."""
+    B, N, C, H, D = 2, 256, 32, 4, 32
+    x = jnp.asarray(rng.normal(3.0, 2.0, (B, N, C)).astype(np.float32))  # nonzero mean
+    w = jnp.asarray(rng.normal(0, 0.1, (C, 3 * H * D)).astype(np.float32))
+    g = jnp.asarray(rng.normal(1.0, 0.2, (C,)).astype(np.float32))
+
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    y = (x - mean) * rstd * g
+
+    folded = blockdiag_linear_attention(x, w, H, D, prenorm=(mean, rstd, g))
+    explicit = blockdiag_linear_attention(y, w, H, D)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(explicit), atol=2e-5)

@@ -400,3 +400,31 @@ def test_bilinear_sample_matmul_matches_gather(rng):
             a = bilinear_sample(img, coords, mode=mode, method="matmul")
             b = bilinear_sample(img, coords, mode=mode, method="gather")
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bilinear_sample_matmul_grad_matches_gather(rng):
+    """Gradients (w.r.t. image and flow) of the matmul warp equal the
+    gather oracle's - the backward is matmuls instead of scatter-adds."""
+    from dmhomo_tpu.geometry.warp import warp_by_flow
+
+    B, H, W, C = 2, 12, 14, 2
+    img = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 2, (B, H, W, 2)).astype(np.float32))
+    # keep coords away from integer lattice points (floor() kinks make the
+    # two formulations' subgradients differ exactly at integers)
+    flow = jnp.where(jnp.abs(flow - jnp.round(flow)) < 1e-3, flow + 0.01, flow)
+
+    def loss(img, flow, method):
+        out = warp_by_flow(img, flow, mode="collapse") if method == "matmul" else None
+        if method == "gather":
+            from dmhomo_tpu.geometry.warp import bilinear_sample
+            from dmhomo_tpu.geometry.grids import pixel_grid
+
+            coords = pixel_grid(H, W, dtype=flow.dtype)[None] + flow
+            out = bilinear_sample(img, coords, mode="collapse", method="gather")
+        return (out * out).sum()
+
+    gi_m, gf_m = jax.grad(loss, (0, 1))(img, flow, "matmul")
+    gi_g, gf_g = jax.grad(loss, (0, 1))(img, flow, "gather")
+    np.testing.assert_allclose(np.asarray(gi_m), np.asarray(gi_g), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_m), np.asarray(gf_g), atol=1e-4)

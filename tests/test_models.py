@@ -242,3 +242,38 @@ def test_window_attention_packed_matches_naive(rng):
     o_pm = packed.apply({"params": params}, x, mask)
     o_nm = naive.apply({"params": params}, x, mask)
     np.testing.assert_allclose(np.asarray(o_pm), np.asarray(o_nm), atol=1e-5)
+
+
+def test_swin_remat_policy_matches_full_remat(rng):
+    """remat_policy='dots_with_no_batch_dims_saveable' gives the same
+    outputs and gradients as full SwinBlock remat (it only changes what
+    the backward recomputes)."""
+    import dataclasses
+
+    from dmhomo_tpu.models.swin import SwinConfig, SwinTransformer
+
+    base = SwinConfig(
+        crop_size=(64, 64), embed_dim=8, depths=(1, 1, 1), layer_depth=(3, 2, 1),
+        num_heads=(2, 2, 2), remat=True,
+    )
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 2)).astype(np.float32))
+
+    m_full = SwinTransformer(base)
+    v = m_full.init(jax.random.PRNGKey(0), x, True)
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v.get("batch_stats", {})},
+            x, True, mutable=["batch_stats"],
+        )
+        return (out * out).sum()
+
+    m_pol = SwinTransformer(
+        dataclasses.replace(base, remat_policy="dots_with_no_batch_dims_saveable")
+    )
+    g_full = jax.grad(lambda p: loss(m_full, p))(v["params"])
+    g_pol = jax.grad(lambda p: loss(m_pol, p))(v["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        g_full, g_pol,
+    )

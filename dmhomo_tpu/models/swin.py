@@ -58,6 +58,8 @@ class SwinConfig:
     # 'dots_with_no_batch_dims_saveable': keep Dense/MLP outputs, recompute
     # only the batched attention einsums) - None = recompute everything
     remat_policy: Optional[str] = None
+    # attention-logits dtype (see WindowAttention.sim_dtype); None = fp32
+    sim_dtype: Optional[jnp.dtype] = None
 
     @property
     def num_layers(self) -> int:
@@ -167,6 +169,11 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     packed: bool = False
+    # dtype of the attention logits (sim) tensor: None = fp32 (the
+    # softmax-stats-fp32 convention).  bf16 halves the dominant HBM
+    # traffic of HEM training (the (Bn,h,N,N) sims are ~8x the token
+    # volume); the softmax normalizer stays fp32-accumulated either way.
+    sim_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -232,15 +239,16 @@ class WindowAttention(nn.Module):
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dt)
             out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(Bn, N, C)
         else:
+            sdt = self.sim_dtype or jnp.float32
             qkv = qkv.reshape(Bn, N, 3, h, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, h, d)
             q = q * (hd**-0.5)
             sim = jnp.einsum("bihd,bjhd->bhij", q, k,
-                             preferred_element_type=jnp.float32)
-            sim = sim + bias_ijh.transpose(2, 0, 1)[None]
+                             preferred_element_type=sdt)
+            sim = sim + bias_ijh.transpose(2, 0, 1)[None].astype(sdt)
             if mask is not None:
                 nW = mask.shape[0]
-                sim = sim.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None]
+                sim = sim.reshape(Bn // nW, nW, h, N, N) + jnp.asarray(mask, sdt)[None, :, None]
                 sim = sim.reshape(Bn, h, N, N)
             # max-free softmax: shift-invariance makes the data max
             # unnecessary (a static clip guards exp's range; the SW-MSA
@@ -266,6 +274,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    sim_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -286,7 +295,8 @@ class SwinBlock(nn.Module):
 
         wins = window_partition(x, ws)
         wins = WindowAttention(
-            self.dim, ws, self.num_heads, self.qkv_bias, self.dtype, name="attn"
+            self.dim, ws, self.num_heads, self.qkv_bias, self.dtype,
+            sim_dtype=self.sim_dtype, name="attn"
         )(wins, mask)
         x = window_reverse(wins, ws, H, W)
         if shift > 0:
@@ -336,6 +346,7 @@ class BasicLayer(nn.Module):
     mlp_ratio: float
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    sim_dtype: Optional[jnp.dtype] = None
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -362,6 +373,7 @@ class BasicLayer(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
                     dtype=self.dtype,
+                    sim_dtype=self.sim_dtype,
                     name=f"sub{l}_block{i}",
                 )(x)
             if l < self.layer_depth - 1:
@@ -520,6 +532,7 @@ class SwinTransformer(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias,
                 dtype=dt,
+                sim_dtype=cfg.sim_dtype,
                 remat=cfg.remat,
                 remat_policy=cfg.remat_policy,
                 name=f"encoder_{enc_idx}",

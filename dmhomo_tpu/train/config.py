@@ -91,6 +91,14 @@ class HEMTrainConfig:
     # full-config fp32 bs=32 backward wants 84 GB HBM without them (BENCH.md)
     bf16: bool = True
     remat: bool = True
+    # microbatch gradient accumulation inside the jitted step (lax.scan):
+    # same update as one bs=train_batch_size step, 1/grad_accum the
+    # activation memory (BN stats run per microbatch, like the reference's
+    # per-rank unsynced BN under DDP).  Default 8: removes the XLA
+    # memory-pressure auto-remat near the 16 GB ceiling - AOT cost
+    # analysis says 1.445 -> 0.230 TB and 7.99 -> 1.86 TFLOP per step
+    # (BENCH.md).  Falls back to 1 when the batch doesn't divide.
+    grad_accum: int = 8
 
     @staticmethod
     def stage2(**overrides) -> "HEMTrainConfig":

@@ -34,9 +34,15 @@ class HEMTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         est = config.estimator
         if config.bf16 and est.dtype != jnp.bfloat16:
+            # bf16 activations AND bf16 attention logits (sim_dtype): the
+            # (Bn,h,N,N) window sims dominate step HBM traffic (AOT cost
+            # analysis: 1.445 -> 1.228 TB/step, BENCH.md); softmax
+            # normalizers stay fp32-accumulated
             est = dataclasses.replace(
                 est, dtype=jnp.bfloat16,
-                swin=dataclasses.replace(est.swin, dtype=jnp.bfloat16),
+                swin=dataclasses.replace(
+                    est.swin, dtype=jnp.bfloat16, sim_dtype=jnp.bfloat16
+                ),
             )
         if config.remat and not est.swin.remat:
             est = dataclasses.replace(est, swin=dataclasses.replace(est.swin, remat=True))
@@ -101,9 +107,46 @@ class HEMTrainer:
                     batch["img12"], batch["homo"], batch["homo_inv"],
                     batch["start"], cfg.estimator.crop_size, cfg.estimator.ori_size,
                 )
-            (total, (losses, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state["params"], state["batch_stats"], batch)
+            params = state["params"]
+            B_ = batch["imgs_gray_patch"].shape[0]
+            # microbatches must divide the per-device batch (the scan's
+            # minor batch axis stays sharded over 'data')
+            per_dev = max(B_ // max(self.mesh.shape.get("data", 1), 1), 1)
+            accum = min(cfg.grad_accum, per_dev)
+            while accum > 1 and (per_dev % accum or B_ % accum):
+                accum -= 1
+            if accum == 1:
+                (total, (losses, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, state["batch_stats"], batch)
+            else:
+                # microbatch gradient accumulation (lax.scan): divides the
+                # activation working set by `accum`, which also removes the
+                # XLA memory-pressure spill/compress copies near the 16 GB
+                # HBM ceiling.  BN stats thread through the scan carry -
+                # sequential microbatches, like the reference's per-rank
+                # unsynced BN under DDP (bs/ranks per BN batch).
+                B = batch["imgs_gray_patch"].shape[0]
+                mb = B // accum
+                mbatch = jax.tree.map(
+                    lambda x: x[: mb * accum].reshape(accum, mb, *x.shape[1:]), batch
+                )
+
+                def micro(carry, b):
+                    loss_acc, grad_acc, stats = carry
+                    (l, (ls, stats)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                        params, stats, b
+                    )
+                    grad_acc = jax.tree.map(jnp.add, grad_acc, g)
+                    return (loss_acc + l, grad_acc, stats), ls
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (total, grads, new_stats), losses_seq = jax.lax.scan(
+                    micro, (0.0, zero, state["batch_stats"]), mbatch
+                )
+                total = total / accum
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                losses = jax.tree.map(lambda x: x.mean(), losses_seq)
             updates, opt_state = self.tx.update(grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
             new_step = state["step"] + 1

@@ -334,3 +334,35 @@ def test_dgm_shard_params_over_model_axis():
     imgs = t_tp.sample(jax.random.PRNGKey(2), classes, jnp.zeros((8, S, S, 3)),
                        jnp.ones((8, S, S, 1)))
     assert np.isfinite(np.asarray(jax.device_get(imgs))).all()
+
+
+def test_hem_grad_accum_matches_single_batch():
+    """grad_accum microbatching gives the same update as one full batch
+    (up to BN-microbatch statistics; loss agrees to ~1e-4)."""
+    import dataclasses
+
+    import numpy as np
+
+    from dmhomo_tpu.models.estimator import EstimatorConfig
+    from dmhomo_tpu.models.swin import SwinConfig
+    from dmhomo_tpu.train.config import HEMTrainConfig
+    from dmhomo_tpu.train.hem_trainer import HEMTrainer
+
+    swin = SwinConfig(crop_size=(64, 128), embed_dim=8, depths=(1, 1, 1),
+                      layer_depth=(3, 2, 1), num_heads=(2, 2, 2))
+    est = EstimatorConfig(crop_size=(64, 128), ori_size=(72, 136), swin=swin)
+    rng = np.random.default_rng(0)
+    batch = {
+        "imgs_gray_patch": rng.normal(0, 1, (8, 64, 128, 2)).astype(np.float32),
+        "flow_gt_patch": rng.normal(0, 3, (8, 64, 128, 4)).astype(np.float32),
+    }
+    losses = {}
+    for accum in (1, 4):
+        cfg = HEMTrainConfig(estimator=est, bf16=False, remat=False,
+                             grad_accum=accum, seed=0)
+        tr = HEMTrainer(cfg, steps_per_epoch=100)
+        tr.init_state()
+        out = tr.train_step(dict(batch))
+        losses[accum] = float(jax.device_get(out["total"]))
+    assert np.isfinite(losses[1]) and np.isfinite(losses[4])
+    np.testing.assert_allclose(losses[1], losses[4], rtol=1e-3)

@@ -94,10 +94,10 @@ class HEMTrainConfig:
     # microbatch gradient accumulation inside the jitted step (lax.scan):
     # same update as one bs=train_batch_size step, 1/grad_accum the
     # activation memory (BN stats run per microbatch, like the reference's
-    # per-rank unsynced BN under DDP).  Default 8: removes the XLA
-    # memory-pressure auto-remat near the 16 GB ceiling - AOT cost
-    # analysis says 1.445 -> 0.230 TB and 7.99 -> 1.86 TFLOP per step
-    # (BENCH.md).  Falls back to 1 when the batch doesn't divide.
+    # per-rank unsynced BN under DDP).  Default 8: drops peak HBM temp
+    # 14.4 -> 5.2 GiB, which removes XLA's memory-pressure spill copies
+    # and its auto-remat on top of the explicit SwinBlock remat (BENCH.md
+    # AOT table + its loop-body caveat).  Clamped to the per-device batch.
     grad_accum: int = 8
 
     @staticmethod

@@ -121,11 +121,12 @@ class HEMTrainer:
                 )(params, state["batch_stats"], batch)
             else:
                 # microbatch gradient accumulation (lax.scan): divides the
-                # activation working set by `accum`, which also removes the
-                # XLA memory-pressure spill/compress copies near the 16 GB
-                # HBM ceiling.  BN stats thread through the scan carry -
-                # sequential microbatches, like the reference's per-rank
-                # unsynced BN under DDP (bs/ranks per BN batch).
+                # activation working set by `accum` (peak temp 14.4 ->
+                # 5.2 GiB at bs=32), which removes XLA's memory-pressure
+                # spill copies and auto-remat near the 16 GB ceiling.  BN
+                # stats thread through the scan carry - sequential
+                # microbatches, like the reference's per-rank unsynced BN
+                # under DDP (bs/ranks per BN batch).
                 B = batch["imgs_gray_patch"].shape[0]
                 mb = B // accum
                 mbatch = jax.tree.map(

@@ -85,8 +85,11 @@ def main():
     iters = 3
     t0 = time.time()
     for i in range(iters):
-        out = generate(params, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(out)
+        imgs_out, homos_out = generate(params, jax.random.PRNGKey(2 + i))
+        # host readback of a sampled pixel: homos alone depends only on the
+        # condition flow, so blocking on it would not force the DDIM chain
+        float(jax.device_get(imgs_out[0, 0, 0, 0]))
+        float(jax.device_get(homos_out[0, 0, 0]))
     dt = (time.time() - t0) / iters
 
     samples_per_sec = B / dt
@@ -143,23 +146,24 @@ def main_hem():
     losses = trainer.train_step(first)
     jax.block_until_ready(losses["total"])
 
-    # step-only rate (varied inputs, final readback)
+    # step-only rate (varied inputs, HONEST per-call host readback - the
+    # relay can otherwise report chained dispatches early, BENCH.md)
     iters = 10
     t0 = time.time()
     for i in range(iters):
         b = {k: v for k, v in first.items()}
         b["start"] = (first["start"] + i) % 8 + 16
         losses = trainer.train_step(b)
-    loss_val = float(jax.device_get(losses["total"]))
+        loss_val = float(jax.device_get(losses["total"]))
     step_rate = BS * iters / (time.time() - t0)
 
-    # sustained end-to-end: loader feeding the step
+    # sustained end-to-end: loader feeding the step (per-call readback)
     stream = cycle(dl)
     steps = 12
     t0 = time.time()
     for _ in range(steps):
         losses = trainer.train_step(next(stream))
-    jax.block_until_ready(losses["total"])
+        float(jax.device_get(losses["total"]))
     e2e_rate = BS * steps / (time.time() - t0)
 
     # derived reference baseline from the step's actual FLOPs

@@ -20,9 +20,16 @@ def main():
     from dmhomo_tpu.train.config import HEMTrainConfig
     from dmhomo_tpu.train.hem_trainer import HEMTrainer
 
+    import os
+
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     BS = 32
     cfg = HEMTrainConfig()
+    if os.environ.get("DMHOMO_HEM_ACCUM"):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, grad_accum=int(os.environ["DMHOMO_HEM_ACCUM"]))
+        print("grad_accum:", cfg.grad_accum)
     if len(sys.argv) > 2:  # optional jax.checkpoint_policies name
         import dataclasses
 

@@ -16,8 +16,9 @@ Architecture (swin_multi.py:145-183):
 
 TPU notes: window partition is pure reshape/transpose; the SW-MSA attention
 mask and relative-position index are host-precomputed constants; all shapes
-static so each level compiles to one fused region.  Attention softmax in
-fp32.
+static so each level compiles to one fused region.  Softmax normalizers are
+fp32-accumulated; the logits tensor dtype is configurable (`sim_dtype`,
+bf16 under the bf16 training mode - BENCH.md AOT analysis).
 """
 
 from __future__ import annotations

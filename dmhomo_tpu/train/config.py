@@ -94,11 +94,12 @@ class HEMTrainConfig:
     # microbatch gradient accumulation inside the jitted step (lax.scan):
     # same update as one bs=train_batch_size step, 1/grad_accum the
     # activation memory (BN stats run per microbatch, like the reference's
-    # per-rank unsynced BN under DDP).  Default 8: drops peak HBM temp
-    # 14.4 -> 5.2 GiB, which removes XLA's memory-pressure spill copies
-    # and its auto-remat on top of the explicit SwinBlock remat (BENCH.md
+    # per-rank unsynced BN under DDP).  Default 4: microbatch 8 = exactly
+    # the reference's per-rank BN batch (bs 32 / 4 GPUs), and peak HBM
+    # temp drops 14.4 -> 9.8 GiB, below the memory-pressure regime where
+    # XLA auto-remats on top of the explicit SwinBlock remat (BENCH.md
     # AOT table + its loop-body caveat).  Clamped to the per-device batch.
-    grad_accum: int = 8
+    grad_accum: int = 4
 
     @staticmethod
     def stage2(**overrides) -> "HEMTrainConfig":

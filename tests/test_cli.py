@@ -133,3 +133,21 @@ def test_hem_eval_cli_ragged_tail(tmp_path):
     assert np.isfinite(report["AVG"])
     gifs = glob.glob(os.path.join(vis_dir, "*", "*.gif"))
     assert gifs, "no per-category mask_vis GIFs written"
+
+
+def test_make_conditions_cli(tmp_path):
+    """make_conditions builds a ConditionCache with prefix-derived 5-way
+    class ids (the reference defines prefix2label but hardcodes class 0)."""
+    from dmhomo_tpu.cli.make_conditions import main as make_conditions_main
+    from dmhomo_tpu.data.conditions import ConditionCache
+
+    out = str(tmp_path / "cache")
+    make_conditions_main([
+        "--synthetic", "10", "--out", out, "--image-size", "32",
+        "--src-hw", "36,64",
+    ])
+    cache = ConditionCache(out)
+    assert len(cache) == 10
+    cond, cls = cache[0]
+    assert cond.shape == (32, 32, 12)
+    assert sorted(set(cache.classes.tolist())) == [0, 1, 2, 3, 4]

@@ -32,6 +32,8 @@ def main(argv=None):
         help="build gray/flow batches on the host (the parity path) instead "
         "of the default device pipeline (raw uint8 + H to the chip)",
     )
+    parser.add_argument("--fuse-steps", type=int, default=1,
+                        help="optimizer steps fused per dispatch (lax.scan driver)")
     parser.add_argument("--out", type=str, default="experiments/hem")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -113,7 +115,10 @@ def main(argv=None):
         trainer.load(root=args.restore_dir or cfg.model_dir, tag="latest")
 
     total = args.steps or cfg.num_epochs * steps_per_epoch
-    trainer.train_and_evaluate(cycle(train_dl), eval_loader=eval_dl, total_steps=total)
+    trainer.train_and_evaluate(
+        cycle(train_dl), eval_loader=eval_dl, total_steps=total,
+        fuse_steps=args.fuse_steps,
+    )
     trainer.save(tag="latest")
     logger.info("done")
 

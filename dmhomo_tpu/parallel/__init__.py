@@ -6,6 +6,8 @@ from dmhomo_tpu.parallel.mesh import (
     batch_sharding,
     replicated,
     shard_batch,
+    stacked_batch_sharding,
+    shard_stacked_batch,
     host_shard_info,
 )
 from dmhomo_tpu.parallel.tp import channel_shardings
@@ -16,6 +18,8 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "stacked_batch_sharding",
+    "shard_stacked_batch",
     "host_shard_info",
     "channel_shardings",
 ]

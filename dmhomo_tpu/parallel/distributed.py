@@ -54,3 +54,15 @@ def maybe_initialize_distributed(
     jax.distributed.initialize(**kwargs)
     _INITIALIZED = True
     return True
+
+
+def is_main_process() -> bool:
+    """True on process 0 - the single writer for checkpoints, metric JSON
+    snapshots and preview images on a pod (the reference gates all I/O on
+    accelerate's is_main_process, denoising_diffusion_pytorch.py:
+    1766,1783,1863).  Compute must still run on EVERY process (skipping a
+    jitted collective program on some hosts deadlocks); only the file
+    writes are gated."""
+    import jax
+
+    return jax.process_index() == 0

@@ -51,6 +51,19 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(K, B, ...) stacks of K batches: shard the batch axis (axis 1) over
+    'data', keep the step axis (axis 0) whole - each scan iteration of a
+    fused multi-step program sees an ordinarily-sharded batch."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def shard_stacked_batch(batch, mesh: Mesh):
+    """Device-put a pytree of (K, B, ...) host arrays (see above)."""
+    sh = stacked_batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
 def host_shard_info():
     """(process_index, process_count) - the per-host data slice coordinates."""
     return jax.process_index(), jax.process_count()

@@ -32,6 +32,8 @@ from dmhomo_tpu.parallel import (
     make_mesh,
     replicated,
     shard_batch,
+    shard_stacked_batch,
+    stacked_batch_sharding,
 )
 from dmhomo_tpu.train.config import DGMTrainConfig
 from dmhomo_tpu.train.ema import EMAState, ema_init, ema_update
@@ -93,6 +95,7 @@ class DGMTrainer:
         )
         self.logger = get_logger("dgm")
         self._train_step = None  # built after init_state (needs shardings)
+        self._train_steps = None  # fused multi-step variant
         self._sample = None
         self.state = None
         self.state_shardings = None
@@ -131,54 +134,84 @@ class DGMTrainer:
 
     # -- step ---------------------------------------------------------------
 
-    def _build_train_step(self):
+    def _step_body(self, state, batch_img, classes, key):
+        """One optimizer step (pure; shared by the per-step jit and the
+        fused multi-step scan driver)."""
         cfg = self.config
         accum = cfg.gradient_accumulate_every
 
         def loss_fn(params, key, batch_img, classes):
             return self.gd.loss(params, key, batch_img, classes, train=True)
 
-        def step_fn(state, batch_img, classes, key):
-            params = state["params"]
-            if accum == 1:
-                loss, grads = jax.value_and_grad(loss_fn)(params, key, batch_img, classes)
-            else:
-                B = batch_img.shape[0]
-                mb = B // accum
-                bi = batch_img[: mb * accum].reshape(accum, mb, *batch_img.shape[1:])
-                cl = classes[: mb * accum].reshape(accum, mb)
-                keys = jax.random.split(key, accum)
+        params = state["params"]
+        if accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, batch_img, classes)
+        else:
+            B = batch_img.shape[0]
+            mb = B // accum
+            bi = batch_img[: mb * accum].reshape(accum, mb, *batch_img.shape[1:])
+            cl = classes[: mb * accum].reshape(accum, mb)
+            keys = jax.random.split(key, accum)
 
-                def micro(carry, inp):
-                    b, c, k = inp
-                    l, g = jax.value_and_grad(loss_fn)(params, k, b, c)
-                    loss_acc, grad_acc = carry
-                    return (loss_acc + l, jax.tree.map(jnp.add, grad_acc, g)), None
+            def micro(carry, inp):
+                b, c, k = inp
+                l, g = jax.value_and_grad(loss_fn)(params, k, b, c)
+                loss_acc, grad_acc = carry
+                return (loss_acc + l, jax.tree.map(jnp.add, grad_acc, g)), None
 
-                zero = jax.tree.map(jnp.zeros_like, params)
-                (loss, grads), _ = jax.lax.scan(micro, (0.0, zero), (bi, cl, keys))
-                loss = loss / accum
-                grads = jax.tree.map(lambda g: g / accum, grads)
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (loss, grads), _ = jax.lax.scan(micro, (0.0, zero), (bi, cl, keys))
+            loss = loss / accum
+            grads = jax.tree.map(lambda g: g / accum, grads)
 
-            updates, opt_state = self.tx.update(grads, state["opt_state"], params)
-            params = optax.apply_updates(params, updates)
-            ema = ema_update(
-                state["ema"], params, beta=cfg.ema_beta, update_every=cfg.ema_update_every
-            )
-            new_state = {
-                "params": params,
-                "opt_state": opt_state,
-                "ema": ema,
-                "step": state["step"] + 1,
-            }
-            return new_state, loss
+        updates, opt_state = self.tx.update(grads, state["opt_state"], params)
+        params = optax.apply_updates(params, updates)
+        ema = ema_update(
+            state["ema"], params, beta=cfg.ema_beta, update_every=cfg.ema_update_every
+        )
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "ema": ema,
+            "step": state["step"] + 1,
+        }
+        return new_state, loss
 
+    def _build_train_step(self):
         data_sh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
         st_sh = self.state_shardings
         return jax.jit(
-            step_fn,
+            self._step_body,
             in_shardings=(st_sh, data_sh, data_sh, rep),
+            out_shardings=(st_sh, rep),
+            donate_argnums=(0,),
+        )
+
+    def _build_train_steps(self):
+        """Fused multi-step driver: K optimizer steps scanned inside ONE
+        jitted program - one dispatch and one host sync per K steps.  On the
+        axon relay this amortizes the per-call program-reupload pathology
+        (BENCH.md); on any platform it removes the per-step host round-trip
+        of the reference's Python loop (denoising_diffusion_pytorch.py:
+        1836-1865)."""
+
+        def steps_fn(state, batch_imgs, classes, key):
+            K = batch_imgs.shape[0]
+            keys = jax.random.split(key, K)
+
+            def one(st, inp):
+                b, c, k = inp
+                return self._step_body(st, b, c, k)
+
+            return jax.lax.scan(one, state, (batch_imgs, classes, keys))
+
+        stacked_sh = stacked_batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        st_sh = self.state_shardings
+        return jax.jit(
+            steps_fn,
+            in_shardings=(st_sh, stacked_sh, stacked_sh, rep),
             out_shardings=(st_sh, rep),
             donate_argnums=(0,),
         )
@@ -195,6 +228,19 @@ class DGMTrainer:
         self.state, loss = self._train_step(self.state, batch["img"], batch["cls"], key)
         return loss
 
+    def train_steps(self, batch_imgs: np.ndarray, classes: np.ndarray, key):
+        """K fused optimizer steps on a (K, B, S, S, 12) condition stack;
+        returns the (K,) per-step losses (one dispatch, one host sync)."""
+        if self._train_steps is None:
+            assert self.state is not None, "call init_state()/load() first"
+            self._train_steps = self._build_train_steps()
+        batch = shard_stacked_batch(
+            {"img": jnp.asarray(batch_imgs), "cls": jnp.asarray(classes, jnp.int32)},
+            self.mesh,
+        )
+        self.state, losses = self._train_steps(self.state, batch["img"], batch["cls"], key)
+        return losses
+
     # -- train loop ---------------------------------------------------------
 
     def train(
@@ -204,28 +250,41 @@ class DGMTrainer:
         save_every: Optional[int] = None,
         log_every: int = 50,
         on_milestone=None,
+        fuse_steps: int = 1,
     ):
+        """Training loop.  ``fuse_steps>1`` runs K optimizer steps per
+        dispatch via the scanned driver (chunks shrink at save/num_steps
+        boundaries so milestones land on the exact step)."""
         cfg = self.config
         num_steps = num_steps or cfg.train_num_steps
         save_every = save_every or cfg.save_every
         if self.state is None:
             self.init_state()
         key = jax.random.PRNGKey(cfg.seed + 1)
-        start = int(jax.device_get(self.state["step"]))
-        losses = []
-        for step in range(start, num_steps):
-            batch_img, classes = next(batches)
+        step = int(jax.device_get(self.state["step"]))
+        last_loss = None
+        while step < num_steps:
+            to_boundary = min(
+                num_steps - step, save_every - step % save_every
+            )
+            k = min(fuse_steps, to_boundary)
             key, sub = jax.random.split(key)
-            loss = self.train_step(batch_img, classes, sub)
-            losses.append(loss)
-            if (step + 1) % log_every == 0:
-                loss_val = float(jax.device_get(losses[-1]))
-                self.logger.info(f"step {step + 1}/{num_steps} loss {loss_val:.4f}")
-                losses.clear()
-            if (step + 1) % save_every == 0:
+            if k == 1:
+                batch_img, classes = next(batches)
+                last_loss = self.train_step(batch_img, classes, sub)
+            else:
+                stack = [next(batches) for _ in range(k)]
+                batch_imgs = np.stack([b for b, _ in stack])
+                classes = np.stack([c for _, c in stack])
+                last_loss = self.train_steps(batch_imgs, classes, sub)[-1]
+            prev, step = step, step + k
+            if step // log_every > prev // log_every:
+                loss_val = float(jax.device_get(last_loss))
+                self.logger.info(f"step {step}/{num_steps} loss {loss_val:.4f}")
+            if step % save_every == 0:
                 self.save()
                 if on_milestone is not None:
-                    on_milestone(self, step + 1)
+                    on_milestone(self, step)
         return self.state
 
     # -- sampling -----------------------------------------------------------
@@ -248,21 +307,35 @@ class DGMTrainer:
     def save_preview(self, cond_batch: np.ndarray, classes: np.ndarray, path: str, key=None):
         """Sample from the EMA model on a condition batch and dump the
         warp-consistency panel grid (the reference Trainer's milestone
-        preview, denoising_diffusion_pytorch.py:1871-1935)."""
+        preview, denoising_diffusion_pytorch.py:1871-1935).  Logs the
+        preview's masked photometric error - mean(mask*|warp(img2, flow) -
+        img1|), the numeric form of the reference's eyeball check - and
+        returns (path, photo_err)."""
         import jax.numpy as jnp
 
+        from dmhomo_tpu.geometry import warp_by_flow
         from dmhomo_tpu.utils.viz import image_grid, sample_panel, save_png
 
         key = jax.random.PRNGKey(0) if key is None else key
         cond = jnp.asarray(cond_batch)
         imgs = self.sample(key, classes, cond[..., 7:10], cond[..., 6:7])
-        panel = sample_panel(
-            np.asarray(jax.device_get(imgs)),
-            np.asarray(cond_batch[..., 6:7]),
-            np.asarray(cond_batch[..., 10:12]),
+        imgs_np = np.asarray(jax.device_get(imgs))
+        mask = np.asarray(cond_batch[..., 6:7])
+        flow = np.asarray(cond_batch[..., 10:12])
+        warped = np.asarray(
+            jax.device_get(warp_by_flow(jnp.asarray(imgs_np[..., 3:]), jnp.asarray(flow),
+                                        mode="border"))
         )
-        save_png(path, image_grid(panel))
-        return path
+        photo_err = float(
+            (mask * np.abs(warped - imgs_np[..., :3])).sum() / (mask.sum() * 3 + 1e-8)
+        )
+        from dmhomo_tpu.parallel.distributed import is_main_process
+
+        if is_main_process():  # sampling ran on every process; one writer
+            panel = sample_panel(imgs_np, mask, flow)
+            save_png(path, image_grid(panel))
+            self.logger.info(f"preview {path}: photometric error {photo_err:.4f}")
+        return path, photo_err
 
     # -- checkpoints --------------------------------------------------------
 

@@ -21,7 +21,14 @@ from dmhomo_tpu.evaluation import bucket_by_category, category_report, point_mat
 from dmhomo_tpu.losses import compute_losses
 from dmhomo_tpu.models import HomographyEstimator
 from dmhomo_tpu.models.estimator import upsample_outputs
-from dmhomo_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from dmhomo_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_stacked_batch,
+    stacked_batch_sharding,
+)
 from dmhomo_tpu.train.config import HEMTrainConfig
 from dmhomo_tpu.utils import MetricTracker, get_logger, load_checkpoint, save_checkpoint
 
@@ -60,6 +67,8 @@ class HEMTrainer:
         self.metrics = MetricTracker(config.major_metric)
         self._train_step = self._build_train_step()
         self._train_step_raw = None  # device-pipeline variant, built lazily
+        self._train_steps = None  # fused multi-step variants
+        self._train_steps_raw = None
         self._eval_forward = None
         self.state = None
 
@@ -84,7 +93,9 @@ class HEMTrainer:
 
     # -- train step ---------------------------------------------------------
 
-    def _build_train_step(self, raw: bool = False):
+    def _step_body(self, state, batch, raw: bool = False):
+        """One optimizer step (pure; shared by the per-step jit and the
+        fused multi-step scan driver)."""
         cfg = self.config
 
         def loss_fn(params, batch_stats, batch):
@@ -97,77 +108,104 @@ class HEMTrainer:
             losses = compute_losses(batch, outputs, cfg.loss)
             return losses["total"], (losses, mutated["batch_stats"])
 
-        def step_fn(state, batch):
-            if raw:
-                # device-pipeline batches: resize/gray/flow-render in-graph
-                # (HEMTrainDataset(device_pipeline=True), hem_data.py)
-                from dmhomo_tpu.data.hem_data import device_build_patches
+        if raw:
+            # device-pipeline batches: resize/gray/flow-render in-graph
+            # (HEMTrainDataset(device_pipeline=True), hem_data.py)
+            from dmhomo_tpu.data.hem_data import device_build_patches
 
-                batch = device_build_patches(
-                    batch["img12"], batch["homo"], batch["homo_inv"],
-                    batch["start"], cfg.estimator.crop_size, cfg.estimator.ori_size,
-                )
-            params = state["params"]
-            B_ = batch["imgs_gray_patch"].shape[0]
-            # microbatches must divide the per-device batch (the scan's
-            # minor batch axis stays sharded over 'data')
-            per_dev = max(B_ // max(self.mesh.shape.get("data", 1), 1), 1)
-            accum = min(cfg.grad_accum, per_dev)
-            while accum > 1 and (per_dev % accum or B_ % accum):
-                accum -= 1
-            if accum == 1:
-                (total, (losses, new_stats)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, state["batch_stats"], batch)
-            else:
-                # microbatch gradient accumulation (lax.scan): divides the
-                # activation working set by `accum` (peak temp 14.4 ->
-                # 5.2 GiB at bs=32), which removes XLA's memory-pressure
-                # spill copies and auto-remat near the 16 GB ceiling.  BN
-                # stats thread through the scan carry - sequential
-                # microbatches, like the reference's per-rank unsynced BN
-                # under DDP (bs/ranks per BN batch).
-                B = batch["imgs_gray_patch"].shape[0]
-                mb = B // accum
-                mbatch = jax.tree.map(
-                    lambda x: x[: mb * accum].reshape(accum, mb, *x.shape[1:]), batch
-                )
+            batch = device_build_patches(
+                batch["img12"], batch["homo"], batch["homo_inv"],
+                batch["start"], cfg.estimator.crop_size, cfg.estimator.ori_size,
+            )
+        params = state["params"]
+        B_ = batch["imgs_gray_patch"].shape[0]
+        # microbatches must divide the per-device batch (the scan's
+        # minor batch axis stays sharded over 'data')
+        per_dev = max(B_ // max(self.mesh.shape.get("data", 1), 1), 1)
+        accum = min(cfg.grad_accum, per_dev)
+        while accum > 1 and (per_dev % accum or B_ % accum):
+            accum -= 1
+        if accum == 1:
+            (total, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state["batch_stats"], batch)
+        else:
+            # microbatch gradient accumulation (lax.scan): divides the
+            # activation working set by `accum` (peak temp 14.4 ->
+            # 5.2 GiB at bs=32), which removes XLA's memory-pressure
+            # spill copies and auto-remat near the 16 GB ceiling.  BN
+            # stats thread through the scan carry - `accum` sequential
+            # momentum updates per optimizer step, vs ONE per-rank update
+            # per step in the reference's DDP: the normalization batch
+            # matches, but the running averages move ~accum x faster
+            # toward the batch statistics (cadence difference; harmless
+            # for eval parity because the stats converge to the same
+            # fixed point, noted per ADVICE r2).
+            B = batch["imgs_gray_patch"].shape[0]
+            mb = B // accum
+            mbatch = jax.tree.map(
+                lambda x: x[: mb * accum].reshape(accum, mb, *x.shape[1:]), batch
+            )
 
-                def micro(carry, b):
-                    loss_acc, grad_acc, stats = carry
-                    (l, (ls, stats)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                        params, stats, b
-                    )
-                    grad_acc = jax.tree.map(jnp.add, grad_acc, g)
-                    return (loss_acc + l, grad_acc, stats), ls
-
-                zero = jax.tree.map(jnp.zeros_like, params)
-                (total, grads, new_stats), losses_seq = jax.lax.scan(
-                    micro, (0.0, zero, state["batch_stats"]), mbatch
+            def micro(carry, b):
+                loss_acc, grad_acc, stats = carry
+                (l, (ls, stats)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, stats, b
                 )
-                total = total / accum
-                grads = jax.tree.map(lambda g: g / accum, grads)
-                losses = jax.tree.map(lambda x: x.mean(), losses_seq)
-            updates, opt_state = self.tx.update(grads, state["opt_state"], state["params"])
-            params = optax.apply_updates(state["params"], updates)
-            new_step = state["step"] + 1
-            new_state = {
-                "params": params,
-                "batch_stats": new_stats,
-                "opt_state": opt_state,
-                "step": new_step,
-                # epoch-equivalent counter: the reference's per-epoch
-                # ExponentialLR staircase (HEM/train.py:91-99) ticks here
-                "epoch": new_step // self.steps_per_epoch,
-            }
-            scalars = {k: v for k, v in losses.items()}
-            return new_state, scalars
+                grad_acc = jax.tree.map(jnp.add, grad_acc, g)
+                return (loss_acc + l, grad_acc, stats), ls
+
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (total, grads, new_stats), losses_seq = jax.lax.scan(
+                micro, (0.0, zero, state["batch_stats"]), mbatch
+            )
+            total = total / accum
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            losses = jax.tree.map(lambda x: x.mean(), losses_seq)
+        updates, opt_state = self.tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_step = state["step"] + 1
+        new_state = {
+            "params": params,
+            "batch_stats": new_stats,
+            "opt_state": opt_state,
+            "step": new_step,
+            # epoch-equivalent counter: the reference's per-epoch
+            # ExponentialLR staircase (HEM/train.py:91-99) ticks here
+            "epoch": new_step // self.steps_per_epoch,
+        }
+        scalars = {k: v for k, v in losses.items()}
+        return new_state, scalars
+
+    def _build_train_step(self, raw: bool = False):
+        import functools
 
         data_sh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
         return jax.jit(
-            step_fn,
+            functools.partial(self._step_body, raw=raw),
             in_shardings=(rep, data_sh),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
+    def _build_train_steps(self, raw: bool = False):
+        """Fused multi-step driver: K optimizer steps scanned inside ONE
+        jitted program - one dispatch and one host sync per K steps (the
+        production answer to the relay's per-call overhead; reference
+        counterpart is the Python step loop HEM/train.py:72-99)."""
+
+        def steps_fn(state, batches):
+            def one(st, b):
+                return self._step_body(st, b, raw=raw)
+
+            return jax.lax.scan(one, state, batches)
+
+        stacked_sh = stacked_batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            steps_fn,
+            in_shardings=(rep, stacked_sh),
             out_shardings=(rep, rep),
             donate_argnums=(0,),
         )
@@ -188,6 +226,30 @@ class HEMTrainer:
             self.mesh,
         )
         self.state, losses = self._train_step(self.state, device_batch)
+        return losses
+
+    def train_steps(self, batches: list):
+        """K fused optimizer steps from a list of K batches (either schema);
+        returns the loss dict of (K,) arrays (one dispatch, one host sync)."""
+        raw = "img12" in batches[0]
+        keys = (
+            ("img12", "homo", "homo_inv", "start")
+            if raw
+            else ("imgs_gray_patch", "flow_gt_patch")
+        )
+        stacked = {
+            k: jnp.asarray(np.stack([np.asarray(b[k]) for b in batches])) for k in keys
+        }
+        if raw:
+            if self._train_steps_raw is None:
+                self._train_steps_raw = self._build_train_steps(raw=True)
+            fn = self._train_steps_raw
+        else:
+            if self._train_steps is None:
+                self._train_steps = self._build_train_steps()
+            fn = self._train_steps
+        device_batches = shard_stacked_batch(stacked, self.mesh)
+        self.state, losses = fn(self.state, device_batches)
         return losses
 
     # -- eval ---------------------------------------------------------------
@@ -252,23 +314,36 @@ class HEMTrainer:
         eval_loader=None,
         total_steps: Optional[int] = None,
         log_every: int = 100,
+        fuse_steps: int = 1,
     ):
+        """Training loop.  ``fuse_steps>1`` scans K optimizer steps per
+        dispatch (chunks shrink at eval boundaries so the eval-every-N
+        cadence of the reference is preserved exactly)."""
         cfg = self.config
         if self.state is None:
             self.init_state()
         total_steps = total_steps or cfg.num_epochs * self.steps_per_epoch
-        start = int(jax.device_get(self.state["step"]))
+        step = int(jax.device_get(self.state["step"]))
         best_report = None
-        for step in range(start, total_steps):
-            batch = next(train_batches)
-            losses = self.train_step(batch)
-            if (step + 1) % log_every == 0:
-                ls = {k: float(jax.device_get(v)) for k, v in losses.items()}
+        while step < total_steps:
+            to_boundary = min(
+                total_steps - step,
+                cfg.train_num_steps - step % cfg.train_num_steps,
+            )
+            k = min(fuse_steps, to_boundary)
+            if k == 1:
+                losses = self.train_step(next(train_batches))
+            else:
+                losses = self.train_steps([next(train_batches) for _ in range(k)])
+                losses = {key: v[-1] for key, v in losses.items()}
+            prev, step = step, step + k
+            if step // log_every > prev // log_every:
+                ls = {key: float(jax.device_get(v)) for key, v in losses.items()}
                 self.logger.info(
-                    f"step {step + 1}/{total_steps} " +
-                    " ".join(f"{k}:{v:.4f}" for k, v in ls.items())
+                    f"step {step}/{total_steps} " +
+                    " ".join(f"{key}:{v:.4f}" for key, v in ls.items())
                 )
-            if eval_loader is not None and (step + 1) % cfg.train_num_steps == 0:
+            if eval_loader is not None and step % cfg.train_num_steps == 0:
                 report = self.evaluate(iter(eval_loader))
                 is_best = self.metrics.is_best("val")
                 self.save(tag="latest")

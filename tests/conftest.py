@@ -25,6 +25,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: minutes-long full-config tests")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

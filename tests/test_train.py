@@ -337,14 +337,20 @@ def test_dgm_shard_params_over_model_axis():
 
 
 def test_hem_grad_accum_matches_single_batch():
-    """grad_accum microbatching gives the same update as one full batch
-    (up to BN-microbatch statistics; loss agrees to ~1e-4)."""
-    import dataclasses
-
+    """grad_accum microbatching: the scan path must actually RUN (a
+    1-device mesh keeps per_dev=8 so accum=4 survives the divisibility
+    clamp - on the default 8-device conftest mesh per_dev=1 silently
+    clamps accum to 1 and this test would compare identical runs, ADVICE
+    r2) and produce an update close to the full-batch one.  Exact equality
+    is impossible with BatchNorm (stats over microbatches of 2 vs one
+    batch of 8), so loss matches loosely and the post-step params stay
+    within a small distance - while the BN running stats must DIFFER,
+    proving the two paths were distinct."""
     import numpy as np
 
     from dmhomo_tpu.models.estimator import EstimatorConfig
     from dmhomo_tpu.models.swin import SwinConfig
+    from dmhomo_tpu.parallel import make_mesh
     from dmhomo_tpu.train.config import HEMTrainConfig
     from dmhomo_tpu.train.hem_trainer import HEMTrainer
 
@@ -356,13 +362,185 @@ def test_hem_grad_accum_matches_single_batch():
         "imgs_gray_patch": rng.normal(0, 1, (8, 64, 128, 2)).astype(np.float32),
         "flow_gt_patch": rng.normal(0, 3, (8, 64, 128, 4)).astype(np.float32),
     }
-    losses = {}
+    mesh1 = make_mesh(jax.devices()[:1])
+    results = {}
     for accum in (1, 4):
         cfg = HEMTrainConfig(estimator=est, bf16=False, remat=False,
                              grad_accum=accum, seed=0)
-        tr = HEMTrainer(cfg, steps_per_epoch=100)
+        tr = HEMTrainer(cfg, mesh=mesh1, steps_per_epoch=100)
         tr.init_state()
         out = tr.train_step(dict(batch))
-        losses[accum] = float(jax.device_get(out["total"]))
-    assert np.isfinite(losses[1]) and np.isfinite(losses[4])
-    np.testing.assert_allclose(losses[1], losses[4], rtol=1e-3)
+        results[accum] = {
+            "loss": float(jax.device_get(out["total"])),
+            "params": jax.device_get(tr.state["params"]),
+            "bn": jax.device_get(tr.state["batch_stats"]),
+        }
+    assert np.isfinite(results[1]["loss"]) and np.isfinite(results[4]["loss"])
+    np.testing.assert_allclose(results[1]["loss"], results[4]["loss"], rtol=0.05)
+    # post-step params close (Adam normalizes grad scale, so compare loosely)
+    for a, b in zip(jax.tree.leaves(results[1]["params"]),
+                    jax.tree.leaves(results[4]["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    # BN running stats must differ: 4 sequential momentum updates over
+    # microbatches of 2 vs one update over the batch of 8
+    bn_diff = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree.leaves(results[1]["bn"]),
+                        jax.tree.leaves(results[4]["bn"]))
+    )
+    assert bn_diff > 1e-6, "scan path did not run (accum clamped to 1?)"
+
+
+# ---------------------------------------------------------------------------
+# fused multi-step drivers
+# ---------------------------------------------------------------------------
+
+
+def test_dgm_fused_steps_match_sequential():
+    """train_steps (K steps scanned in ONE jitted program) is step-for-step
+    equivalent to K train_step calls when fed the same per-step keys: same
+    losses, same final params.  The fused driver is the production loop on
+    the relay platform (one dispatch + one host sync per K steps)."""
+    cfg = DGMTrainConfig(
+        unet=UNetConfig(dim=8, num_classes=2, dim_mults=(1, 2)),
+        diffusion=DiffusionConfig(image_size=16, timesteps=20, sampling_timesteps=3),
+        train_batch_size=8, bf16=False,
+    )
+    rng = np.random.default_rng(0)
+    batches = [
+        (rng.uniform(0, 1, (8, 16, 16, 12)).astype(np.float32),
+         rng.integers(0, 2, (8,)).astype(np.int32))
+        for _ in range(3)
+    ]
+    key = jax.random.PRNGKey(123)
+    keys = jax.random.split(key, 3)
+
+    tr1 = DGMTrainer(cfg, mesh=make_mesh())
+    tr1.init_state()
+    seq = [float(jax.device_get(tr1.train_step(b, c, k)))
+           for (b, c), k in zip(batches, keys)]
+
+    # scan with the same keys via the shared step body (train_steps itself
+    # derives per-step keys by splitting, so drive the scan directly here)
+    tr2 = DGMTrainer(cfg, mesh=make_mesh())
+    tr2.init_state()
+
+    def scan_fn(st, inp):
+        b, c, k = inp
+        return tr2._step_body(st, b, c, k)
+
+    bi = jnp.stack([jnp.asarray(b) for b, _ in batches])
+    cl = jnp.stack([jnp.asarray(c) for _, c in batches])
+    state2, losses2 = jax.jit(
+        lambda s, b, c, k: jax.lax.scan(scan_fn, s, (b, c, k))
+    )(tr2.state, bi, cl, keys)
+    np.testing.assert_allclose(seq, np.asarray(jax.device_get(losses2)), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr1.state["params"])),
+                    jax.tree.leaves(jax.device_get(state2["params"]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # public stacked API runs end-to-end and advances the step counter
+    tr3 = DGMTrainer(cfg, mesh=make_mesh())
+    tr3.init_state()
+    out = tr3.train_steps(
+        np.stack([b for b, _ in batches]), np.stack([c for _, c in batches]), key
+    )
+    assert out.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(jax.device_get(out))))
+    assert int(jax.device_get(tr3.state["step"])) == 3
+
+
+def test_hem_fused_steps_match_sequential():
+    """HEM train_steps equals K sequential train_step calls: losses, params
+    and BN running stats all match (the scan carries batch_stats through)."""
+    from dmhomo_tpu.data import SyntheticHomoPairs
+    from dmhomo_tpu.data.loader import DataLoader, cycle
+
+    swin = SwinConfig(crop_size=(32, 64), embed_dim=8, depths=(1, 1, 1),
+                      layer_depth=(3, 2, 1), num_heads=(2, 2, 4), window_size=4,
+                      mlp_ratio=2.0)
+    cfg = HEMTrainConfig(
+        estimator=EstimatorConfig(crop_size=(32, 64), ori_size=(40, 72), swin=swin),
+        loss=LossWeights(nll=1.0), train_batch_size=8, bf16=False, remat=False,
+    )
+    ds = SyntheticHomoPairs(n=32, crop_size=(32, 64), ori_size=(40, 72), rho=3, seed=0)
+    stream = cycle(DataLoader(ds, batch_size=8, seed=0))
+    batches = [next(stream) for _ in range(3)]
+
+    tr1 = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=100)
+    tr1.init_state()
+    seq = [float(jax.device_get(tr1.train_step(b)["total"])) for b in batches]
+
+    tr2 = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=100)
+    tr2.init_state()
+    fused = tr2.train_steps(batches)
+    np.testing.assert_allclose(
+        seq, np.asarray(jax.device_get(fused["total"])), rtol=2e-4
+    )
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr1.state["params"])),
+                    jax.tree.leaves(jax.device_get(tr2.state["params"]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr1.state["batch_stats"])),
+                    jax.tree.leaves(jax.device_get(tr2.state["batch_stats"]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    assert int(jax.device_get(tr2.state["step"])) == 3
+
+
+def test_hem_fused_steps_raw_schema():
+    """train_steps on device-pipeline (raw uint8 + H) batches: the in-graph
+    patch build composes with the step scan."""
+    import os
+    import tempfile
+
+    from dmhomo_tpu.data import DataLoader, HEMTrainDataset
+    from dmhomo_tpu.data.loader import cycle
+
+    swin = SwinConfig(crop_size=(32, 64), embed_dim=8, depths=(1, 1, 1),
+                      layer_depth=(3, 2, 1), num_heads=(2, 2, 4), window_size=4,
+                      mlp_ratio=2.0)
+    cfg = HEMTrainConfig(
+        estimator=EstimatorConfig(crop_size=(32, 64), ori_size=(40, 72), swin=swin),
+        loss=LossWeights(nll=1.0), train_batch_size=8, bf16=False, remat=False,
+    )
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        d = rng.normal(0, 0.005, (3, 3))
+        d[2, :2] *= 1e-4
+        d[2, 2] = 0
+        np.save(os.path.join(tmp, f"{i}.npy"),
+                {"img12": rng.integers(0, 255, (6, 64, 64)).astype(np.uint8),
+                 "homo12": np.eye(3) + d}, allow_pickle=True)
+    ds = HEMTrainDataset(tmp, crop_size=(32, 64), ori_size=(40, 72), rho=3,
+                         rng=np.random.default_rng(1), device_pipeline=True)
+    stream = cycle(DataLoader(ds, batch_size=8, seed=0))
+    tr = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=100)
+    tr.init_state()
+    out = tr.train_steps([next(stream) for _ in range(2)])
+    tot = np.asarray(jax.device_get(out["total"]))
+    assert tot.shape == (2,) and np.all(np.isfinite(tot))
+    assert int(jax.device_get(tr.state["step"])) == 2
+
+
+def test_dgm_train_loop_fuse_steps_boundaries(tmp_path):
+    """train(fuse_steps=K) lands checkpoints/milestones on the exact
+    save_every step even when K does not divide the boundary."""
+    cfg = DGMTrainConfig(
+        unet=UNetConfig(dim=8, num_classes=2, dim_mults=(1, 2)),
+        diffusion=DiffusionConfig(image_size=16, timesteps=20, sampling_timesteps=3),
+        train_batch_size=8, bf16=False, results_dir=str(tmp_path / "ckpt"),
+    )
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield (rng.uniform(0, 1, (8, 16, 16, 12)).astype(np.float32),
+                   rng.integers(0, 2, (8,)).astype(np.int32))
+
+    tr = DGMTrainer(cfg, mesh=make_mesh())
+    tr.init_state()
+    milestones = []
+    tr.train(batches(), num_steps=7, save_every=5, log_every=100,
+             on_milestone=lambda t, s: milestones.append(s), fuse_steps=3)
+    assert milestones == [5]
+    assert int(jax.device_get(tr.state["step"])) == 7

@@ -166,6 +166,14 @@ def bilinear_sample(
     MXU-friendly interpolation-matrix formulation; ``method='gather'``
     the 4-tap gather oracle (identical math).  The DMHOMO_WARP_METHOD
     env var overrides the default (diagnostics/benchmarks).
+
+    NOTE: the env var is read at TRACE time.  jit caches are not keyed on
+    it, so changing it after a program has been traced has no effect on
+    that program - set it before the process (or before the first call of
+    a fresh jitted function).  Same caveat for DMHOMO_ABLATE_WARPS and
+    DMHOMO_LEGACY_WIN_SOFTMAX in models/.  Production code should pass
+    ``method=`` / config flags explicitly; the env vars exist for one-off
+    A/B probes (scripts/).
     """
     import os
 

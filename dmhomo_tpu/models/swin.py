@@ -61,6 +61,11 @@ class SwinConfig:
     remat_policy: Optional[str] = None
     # attention-logits dtype (see WindowAttention.sim_dtype); None = fp32
     sim_dtype: Optional[jnp.dtype] = None
+    # fold the pre-LayerNorms into the following qkv/MLP projections
+    # (LayerNormStats/FoldedDense): the fp32 normalized (B, L, C) tensors
+    # are never materialized - same trick as unet.ChannelLayerNorm's
+    # stats-folding.  Parameter tree is identical either way.
+    fold_ln: bool = False
 
     @property
     def num_layers(self) -> int:
@@ -136,14 +141,75 @@ def window_reverse(wins: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+class LayerNormStats(nn.Module):
+    """LayerNorm parameters WITHOUT materializing the normalized tensor:
+    returns (mean, rstd, scale, bias) so a following matmul can fold the
+    normalization into its epilogue (see FoldedDense).  Parameter
+    names/shapes identical to nn.LayerNorm, so checkpoints are
+    interchangeable with the materializing path."""
+
+    dim: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        return mean, rstd, scale, bias
+
+
+class FoldedDense(nn.Module):
+    """Dense with a pre-LayerNorm folded into its epilogue (exact in reals):
+
+        LN(x) @ W + b = rstd*(x @ (diag(g) W)) - (rstd*mean)*(g @ W)
+                        + (b_ln @ W + b)
+
+    The big matmul runs on the raw activations in the compute dtype; the
+    per-token (mean, rstd) correction and the two tiny per-feature vectors
+    run fp32 and fuse into the matmul epilogue - the fp32 normalized
+    (B, L, C) tensor of a materializing pre-LN never exists.  Parameter
+    names/shapes identical to nn.Dense."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ln):
+        mean, rstd, g, b_ln = ln
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_ch, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias else 0.0
+        )
+        dt = self.dtype
+        Wg = (kernel * g[:, None]).astype(dt)
+        y = jnp.einsum("...c,cf->...f", x.astype(dt), Wg,
+                       preferred_element_type=jnp.float32)
+        u = g @ kernel  # (features,) fp32
+        const = b_ln @ kernel + bias
+        out = rstd * y - (rstd * mean) * u + const
+        return out.astype(dt)
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+    def __call__(self, x, ln=None):
+        if ln is not None:  # pre-LN folded into fc1
+            x = FoldedDense(self.hidden, dtype=self.dtype, name="fc1")(x, ln)
+        else:
+            x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
@@ -177,14 +243,17 @@ class WindowAttention(nn.Module):
     sim_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, ln=None):
         Bn, N, C = x.shape  # N = ws*ws
         ws = self.window_size
         h = self.num_heads
         hd = self.dim // h
         dt = self.dtype
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=dt, name="qkv")(x)
+        if ln is not None:  # pre-LN folded into the qkv projection
+            qkv = FoldedDense(self.dim * 3, self.qkv_bias, dt, name="qkv")(x, ln)
+        else:
+            qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=dt, name="qkv")(x)
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
@@ -253,10 +322,13 @@ class WindowAttention(nn.Module):
                 sim = sim.reshape(Bn, h, N, N)
             # max-free softmax: shift-invariance makes the data max
             # unnecessary (a static clip guards exp's range; the SW-MSA
-            # -100 mask clips to -60 -> weight ~1e-26, as dead as -inf),
-            # and by linearity the row normalizer divides out AFTER the
-            # context matmul - the normalized (Bn,h,N,N) attention tensor
-            # is never materialized.  Logits and the normalizer stay fp32.
+            # -100 mask clips to -60 -> weight ~1e-26, as dead as -inf;
+            # NOTE the clip is exact only while real logits stay within
+            # +-60 - tracked by the bf16-sim learning validation), and by
+            # linearity the row normalizer divides out AFTER the context
+            # matmul - the normalized (Bn,h,N,N) attention tensor is never
+            # materialized.  The normalizer stays fp32-accumulated; logits
+            # are in sim_dtype (fp32 default, bf16 under bf16 training).
             e = jnp.exp(jnp.clip(sim, -60.0, 60.0)).astype(dt)
             s = jnp.sum(e, axis=-1, dtype=jnp.float32)  # (Bn, h, i)
             out = jnp.einsum("bhij,bjhd->bihd", e, v,
@@ -276,6 +348,7 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     sim_dtype: Optional[jnp.dtype] = None
+    fold_ln: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -286,27 +359,50 @@ class SwinBlock(nn.Module):
         B, L, C = x.shape
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
-        x = x.reshape(B, H, W, C)
-        if shift > 0:
-            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(H, W, ws, shift))
-        else:
-            mask = None
-
-        wins = window_partition(x, ws)
-        wins = WindowAttention(
+        attn = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.dtype,
             sim_dtype=self.sim_dtype, name="attn"
-        )(wins, mask)
+        )
+        if self.fold_ln:
+            # norm1 stays un-materialized: the per-token (mean, rstd) ride
+            # through the same roll/partition permutations as x and fold
+            # into the qkv matmul inside WindowAttention
+            mean, rstd, g, b_ln = LayerNormStats(C, name="norm1")(x)
+            x4 = x.reshape(B, H, W, C)
+            m4 = mean.reshape(B, H, W, 1)
+            r4 = rstd.reshape(B, H, W, 1)
+            if shift > 0:
+                x4 = jnp.roll(x4, shift=(-shift, -shift), axis=(1, 2))
+                m4 = jnp.roll(m4, shift=(-shift, -shift), axis=(1, 2))
+                r4 = jnp.roll(r4, shift=(-shift, -shift), axis=(1, 2))
+                mask = jnp.asarray(shifted_window_mask(H, W, ws, shift))
+            else:
+                mask = None
+            wins = attn(
+                window_partition(x4, ws), mask,
+                ln=(window_partition(m4, ws), window_partition(r4, ws), g, b_ln),
+            )
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+            x = x.reshape(B, H, W, C)
+            if shift > 0:
+                x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+                mask = jnp.asarray(shifted_window_mask(H, W, ws, shift))
+            else:
+                mask = None
+            wins = attn(window_partition(x, ws), mask)
         x = window_reverse(wins, ws, H, W)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = x.reshape(B, L, C)
 
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")
+        if self.fold_ln:
+            x = x + mlp(x, ln=LayerNormStats(C, name="norm2")(x))
+        else:
+            y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+            x = x + mlp(y)
         return x
 
 
@@ -348,6 +444,7 @@ class BasicLayer(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     sim_dtype: Optional[jnp.dtype] = None
+    fold_ln: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -375,6 +472,7 @@ class BasicLayer(nn.Module):
                     qkv_bias=self.qkv_bias,
                     dtype=self.dtype,
                     sim_dtype=self.sim_dtype,
+                    fold_ln=self.fold_ln,
                     name=f"sub{l}_block{i}",
                 )(x)
             if l < self.layer_depth - 1:
@@ -392,13 +490,20 @@ class ClassAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, u):
+    def __call__(self, u, ln=None):
         B, N, C = u.shape
         nq = self.num_queries
         hd = self.dim // self.num_heads
-        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(u[:, :nq])
-        k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(u)
-        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(u)
+        if ln is not None:  # pre-LN folded into q/k/v projections
+            mean, rstd, g, b_ln = ln
+            ln_q = (mean[:, :nq], rstd[:, :nq], g, b_ln)
+            q = FoldedDense(self.dim, self.qkv_bias, self.dtype, name="q")(u[:, :nq], ln_q)
+            k = FoldedDense(self.dim, self.qkv_bias, self.dtype, name="k")(u, ln)
+            v = FoldedDense(self.dim, self.qkv_bias, self.dtype, name="v")(u, ln)
+        else:
+            q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(u[:, :nq])
+            k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(u)
+            v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(u)
         q = q.reshape(B, nq, self.num_heads, hd) * (hd**-0.5)
         k = k.reshape(B, N, self.num_heads, hd)
         v = v.reshape(B, N, self.num_heads, hd)
@@ -416,6 +521,7 @@ class LayerScaleBlockCA(nn.Module):
     mlp_ratio: float
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    fold_ln: bool = False
 
     @nn.compact
     def __call__(self, x_cls, x):
@@ -424,10 +530,15 @@ class LayerScaleBlockCA(nn.Module):
         gamma_2 = self.param("gamma_2", nn.initializers.constant(init_val), (self.dim,))
 
         u = jnp.concatenate([x_cls, x], axis=1)
-        u = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(u)
-        x_cls = x_cls + gamma_1 * ClassAttention(
+        attn = ClassAttention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype, name="attn"
-        )(u)
+        )
+        if self.fold_ln:
+            # the (B, nq+L, C) fp32 normalized concat never materializes
+            x_cls = x_cls + gamma_1 * attn(u, ln=LayerNormStats(self.dim, name="norm1")(u))
+        else:
+            u = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(u)
+            x_cls = x_cls + gamma_1 * attn(u)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x_cls)
         x_cls = x_cls + gamma_2 * Mlp(
             int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp1"
@@ -534,6 +645,7 @@ class SwinTransformer(nn.Module):
                 qkv_bias=cfg.qkv_bias,
                 dtype=dt,
                 sim_dtype=cfg.sim_dtype,
+                fold_ln=cfg.fold_ln,
                 remat=cfg.remat,
                 remat_policy=cfg.remat_policy,
                 name=f"encoder_{enc_idx}",
@@ -547,6 +659,7 @@ class SwinTransformer(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias,
                 dtype=dt,
+                fold_ln=cfg.fold_ln,
                 name=f"token_block_{enc_idx}",
             )(query_token, tok)
             query_token = norm(query_token).astype(dt)

@@ -12,7 +12,7 @@ import os
 import sys
 
 
-def build(sim_bf16=False, policy=None, accum=1, remat=True):
+def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False):
     import jax
     import jax.numpy as jnp
 
@@ -25,6 +25,8 @@ def build(sim_bf16=False, policy=None, accum=1, remat=True):
         swin = dataclasses.replace(swin, sim_dtype=jnp.bfloat16)
     if policy:
         swin = dataclasses.replace(swin, remat_policy=policy)
+    if fold_ln:
+        swin = dataclasses.replace(swin, fold_ln=True)
     cfg = dataclasses.replace(
         cfg, estimator=dataclasses.replace(cfg.estimator, swin=swin)
     )
@@ -83,6 +85,17 @@ def main():
             os.environ["DMHOMO_ABLATE_WARPS"] = "1"
             measure(name)
             del os.environ["DMHOMO_ABLATE_WARPS"]
+        elif name == "fold":
+            measure(name, fold_ln=True)
+        elif name == "fold_policy":
+            measure(name, fold_ln=True, policy="dots_with_no_batch_dims_saveable")
+        elif name.startswith("fold_accum"):
+            measure(name, fold_ln=True, accum=int(name[10:]))
+        elif name == "policy":
+            measure(name, policy="dots_with_no_batch_dims_saveable")
+        elif name.startswith("policy_accum"):
+            measure(name, policy="dots_with_no_batch_dims_saveable",
+                    accum=int(name[12:]))
         elif name.startswith("accum"):
             if name.endswith("_noremat"):
                 measure(name, accum=int(name[5:].split("_")[0]), remat=False)

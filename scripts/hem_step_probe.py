@@ -1,18 +1,37 @@
-"""TPU probe for the HEM train step: fwd-only vs fwd+bwd at the shipped
-config (bs=32, bf16+remat), key-varied with host readback.
+"""TPU probe for the HEM train step at the shipped config (bs=32, bf16+remat).
 
-  python scripts/hem_step_probe.py [fwd|step|both]
+Modes:
+  fused (default) - K optimizer steps scanned in ONE program via
+      HEMTrainer.train_steps, single readback: the only measurement that
+      survives the relay's per-call program-reupload pathology (BENCH.md),
+      and also the production training path.
+  step  - per-call dispatch with host readback (relay-health indicator).
+  fwd   - forward+loss only, per-call readback.
+
+  python scripts/hem_step_probe.py [--mode fused] [--k 6] [--accum N]
+         [--policy dots_with_no_batch_dims_saveable] [--fold] [--runs 2]
 """
 
 from __future__ import annotations
 
-import sys
+import argparse
+import dataclasses
 import time
 
 import numpy as np
 
 
 def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", default="fused", choices=("fused", "step", "fwd"))
+    p.add_argument("--k", type=int, default=6, help="steps per fused dispatch")
+    p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--accum", type=int, default=None)
+    p.add_argument("--policy", type=str, default=None)
+    p.add_argument("--fold", action="store_true", help="fold_ln=True")
+    p.add_argument("--bs", type=int, default=32)
+    args = p.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -20,36 +39,29 @@ def main():
     from dmhomo_tpu.train.config import HEMTrainConfig
     from dmhomo_tpu.train.hem_trainer import HEMTrainer
 
-    import os
-
-    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-    BS = 32
+    BS = args.bs
     cfg = HEMTrainConfig()
-    if os.environ.get("DMHOMO_HEM_ACCUM"):
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, grad_accum=int(os.environ["DMHOMO_HEM_ACCUM"]))
-        print("grad_accum:", cfg.grad_accum)
-    if len(sys.argv) > 2:  # optional jax.checkpoint_policies name
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg,
-            estimator=dataclasses.replace(
-                cfg.estimator,
-                swin=dataclasses.replace(cfg.estimator.swin, remat_policy=sys.argv[2]),
-            ),
-        )
-        print("remat_policy:", sys.argv[2])
+    if args.accum is not None:
+        cfg = dataclasses.replace(cfg, grad_accum=args.accum)
+    swin = cfg.estimator.swin
+    if args.policy:
+        swin = dataclasses.replace(swin, remat_policy=args.policy)
+    if args.fold:
+        swin = dataclasses.replace(swin, fold_ln=True)
+    cfg = dataclasses.replace(
+        cfg, estimator=dataclasses.replace(cfg.estimator, swin=swin)
+    )
     trainer = HEMTrainer(cfg, steps_per_epoch=1000)
     trainer.init_state()
     ph, pw = cfg.estimator.crop_size
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.normal(0, 1, (BS, ph, pw, 2)).astype(np.float32))
-    flow_gt = jnp.asarray(rng.normal(0, 4, (BS, ph, pw, 4)).astype(np.float32))
-    print("devices:", jax.devices(), "bf16:", cfg.bf16, "remat:", cfg.remat)
+    imgs = rng.normal(0, 1, (BS, ph, pw, 2)).astype(np.float32)
+    flow_gt = rng.normal(0, 4, (BS, ph, pw, 4)).astype(np.float32)
+    print(f"devices: {jax.devices()} bf16: {cfg.bf16} remat: {cfg.remat} "
+          f"accum: {cfg.grad_accum} policy: {args.policy} fold: {args.fold}",
+          flush=True)
 
-    if mode in ("fwd", "both"):
+    if args.mode == "fwd":
         @jax.jit
         def fwd(params, batch_stats, imgs):
             out, _ = trainer.model.apply(
@@ -57,36 +69,58 @@ def main():
                 imgs, train=True, mutable=["batch_stats"],
             )
             losses = compute_losses(
-                {"imgs_gray_patch": imgs, "flow_gt_patch": flow_gt}, out, cfg.loss
+                {"imgs_gray_patch": imgs, "flow_gt_patch": jnp.asarray(flow_gt)},
+                out, cfg.loss,
             )
             return losses["total"]
 
-        p, bs_ = trainer.state["params"], trainer.state["batch_stats"]
-        v = float(jax.device_get(fwd(p, bs_, imgs)))
+        par, bst = trainer.state["params"], trainer.state["batch_stats"]
+        im = jnp.asarray(imgs)
+        float(jax.device_get(fwd(par, bst, im)))
         iters = 6
         t0 = time.time()
         for i in range(iters):
-            # per-call host readback (see step mode)
-            v = float(jax.device_get(fwd(p, bs_, imgs + i * 1e-6)))
+            v = float(jax.device_get(fwd(par, bst, im + i * 1e-6)))
         dt = (time.time() - t0) / iters
         print(f"HEM fwd+loss bs={BS}: {dt*1e3:.0f} ms ({BS/dt:.1f} pairs/s)")
+        return
 
-    if mode in ("step", "both"):
-        batch = {"imgs_gray_patch": imgs, "flow_gt_patch": flow_gt}
+    if args.mode == "step":
+        batch = {"imgs_gray_patch": jnp.asarray(imgs),
+                 "flow_gt_patch": jnp.asarray(flow_gt)}
         losses = trainer.train_step(batch)
         jax.block_until_ready(losses["total"])
         iters = 6
         t0 = time.time()
         for i in range(iters):
             b = dict(batch)
-            b["imgs_gray_patch"] = imgs + float(i) * 1e-6
+            b["imgs_gray_patch"] = batch["imgs_gray_patch"] + float(i) * 1e-6
             losses = trainer.train_step(b)
-            # per-call host readback: the relay can otherwise report
-            # chained dispatches as done long before the chip is (BENCH.md)
             lv = float(jax.device_get(losses["total"]))
         dt = (time.time() - t0) / iters
-        print(f"HEM train step bs={BS}: {dt*1e3:.0f} ms "
+        print(f"HEM train step (per-call) bs={BS}: {dt*1e3:.0f} ms "
               f"({BS/dt:.1f} pairs/s, loss {lv:.4f})")
+        return
+
+    # fused: K content-varied batches per dispatch, single readback
+    def batches(seed):
+        r = np.random.default_rng(seed)
+        return [
+            {"imgs_gray_patch": imgs + r.normal(0, 1e-5, imgs.shape).astype(np.float32),
+             "flow_gt_patch": flow_gt}
+            for _ in range(args.k)
+        ]
+
+    losses = trainer.train_steps(batches(1))  # compile
+    jax.block_until_ready(losses["total"])
+    for r in range(args.runs):
+        bs_list = batches(2 + r)
+        t0 = time.time()
+        losses = trainer.train_steps(bs_list)
+        lv = float(jax.device_get(losses["total"][-1]))
+        dt = (time.time() - t0) / args.k
+        print(f"HEM fused {args.k}-step run {r}: {dt*1e3:.0f} ms/step "
+              f"({BS/dt:.1f} pairs/s, loss {lv:.4f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -277,3 +277,38 @@ def test_swin_remat_policy_matches_full_remat(rng):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
         g_full, g_pol,
     )
+
+
+def test_swin_fold_ln_matches_materialized(rng):
+    """fold_ln=True (pre-LayerNorms folded into qkv/MLP epilogues, the fp32
+    normalized tensors never materialized) is numerically equivalent to the
+    materializing path with the SAME parameter tree: identical tree
+    structure/shapes, forward within fp32 rounding, grads within relative
+    tolerance."""
+    import dataclasses
+
+    cfg = _small_swin_cfg()
+    cfg_f = dataclasses.replace(cfg, fold_ln=True)
+    m, mf = SwinTransformer(cfg), SwinTransformer(cfg_f)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 128, 2)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    vf = mf.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vf)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(v),
+                                jax.tree_util.tree_leaves_with_path(vf)):
+        assert np.asarray(a).shape == np.asarray(b).shape, (ka, kb)
+
+    y1 = m.apply(v, x, train=False)
+    y2 = mf.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    def loss(variables, model):
+        out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(lambda p: loss(p, m))(v)
+    g2 = jax.grad(lambda p: loss(p, mf))(v)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.max(np.abs(a - b) / np.maximum(np.abs(a), 1e-2))
+        assert rel < 5e-3, rel

@@ -74,6 +74,13 @@ def main(argv=None):
     parser.add_argument("--no-bf16", action="store_true")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize UNet blocks (bigger per-chip batch)")
+    parser.add_argument("--fuse-steps", type=int, default=1,
+                        help="optimizer steps fused per dispatch (lax.scan driver)")
+    parser.add_argument("--preview-every", type=int, default=0,
+                        help="sample an EMA preview grid every N steps "
+                             "(0 = at every checkpoint milestone)")
+    parser.add_argument("--no-preview", action="store_true",
+                        help="skip milestone preview sampling")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -117,7 +124,25 @@ def main(argv=None):
     else:
         parser.error("need --conditions or --synthetic")
 
-    trainer.train(batches, num_steps=args.steps)
+    # milestone previews (the reference Trainer samples a grid every
+    # save_and_sample_every, denoising_diffusion_pytorch.py:1867-1935):
+    # a fixed condition batch is held out so successive previews are
+    # comparable; photometric error is logged by save_preview
+    on_milestone = None
+    if not args.no_preview:
+        pv_cond, pv_cls = next(batches)
+        n_pv = min(16, len(pv_cond))
+        pv_cond, pv_cls = pv_cond[:n_pv], pv_cls[:n_pv]
+
+        def on_milestone(tr, step):
+            if args.preview_every and step % args.preview_every:
+                return
+            tr.save_preview(pv_cond, pv_cls, f"{args.results}/previews/sample-{step}.png")
+
+    trainer.train(
+        batches, num_steps=args.steps, on_milestone=on_milestone,
+        fuse_steps=args.fuse_steps,
+    )
     trainer.save()
 
 

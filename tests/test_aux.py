@@ -240,10 +240,11 @@ def test_dgm_trainer_preview(tmp_path):
     tr.init_state()
     rng_ = np.random.default_rng(0)
     cond = rng_.uniform(0, 1, (8, 16, 16, 12)).astype(np.float32)
-    path = tr.save_preview(cond, np.zeros((8,), np.int32), str(tmp_path / "p.png"))
+    path, photo_err = tr.save_preview(cond, np.zeros((8,), np.int32), str(tmp_path / "p.png"))
     import os
 
     assert os.path.exists(path)
+    assert np.isfinite(photo_err) and photo_err >= 0
 
 
 def test_mask_vis_categories(tmp_path, rng):
@@ -270,3 +271,31 @@ def test_mask_vis_categories(tmp_path, rng):
     assert all(os.path.exists(p) for p in paths)
     assert any(os.sep + "RE" + os.sep in p for p in paths)
     assert any(p.endswith(".gif") for p in paths)
+
+
+def test_multihost_io_gated_on_process_zero(tmp_path, monkeypatch):
+    """Checkpoint + metric-JSON writes run on process 0 only (the reference
+    gates all I/O on accelerate's is_main_process,
+    denoising_diffusion_pytorch.py:1766,1783,1863); non-zero processes
+    return without touching the filesystem."""
+    import os
+
+    import jax
+
+    from dmhomo_tpu.utils import save_checkpoint
+    from dmhomo_tpu.utils.meters import MetricTracker
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    path = save_checkpoint(str(tmp_path / "ck"), 1, {"a": np.zeros(2)})
+    assert not os.path.exists(path)
+    assert not os.path.exists(tmp_path / "ck")
+    mt = MetricTracker()
+    mt.update("val", {"AVG": 1.0})
+    mt.dump(str(tmp_path / "m.json"), "val")
+    assert not os.path.exists(tmp_path / "m.json")
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    path = save_checkpoint(str(tmp_path / "ck"), 1, {"a": np.zeros(2)})
+    assert os.path.exists(path)
+    mt.dump(str(tmp_path / "m.json"), "val")
+    assert os.path.exists(tmp_path / "m.json")

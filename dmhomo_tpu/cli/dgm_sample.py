@@ -161,7 +161,12 @@ def main(argv=None):
             panel = sample_panel(
                 imgs, np.asarray(cond[..., 6:7]), np.asarray(cond[..., 10:12])
             )
-            ppath = os.path.join(args.out, args.exp, "previews", f"batch_{b:05d}.png")
+            # shard index in the name: parallel shard processes share the
+            # experiment dir and must not overwrite each other's previews
+            ppath = os.path.join(
+                args.out, args.exp, "previews",
+                f"shard_{args.shard_index:02d}_batch_{b:05d}.png",
+            )
             save_png(ppath, image_grid(panel))
             logger.info(f"preview: {ppath}")
         # reference format: CHW uint8

@@ -121,8 +121,11 @@ def main(argv=None):
     logger.info(" ".join(f"{k}:{v:.4f}" for k, v in report.items()))
     print(json.dumps(report))
     if args.out_json:
-        with open(args.out_json, "w") as f:
-            json.dump(report, f, indent=2)
+        from dmhomo_tpu.parallel.distributed import is_main_process
+
+        if is_main_process():  # single writer on pods
+            with open(args.out_json, "w") as f:
+                json.dump(report, f, indent=2)
     return report
 
 

@@ -24,9 +24,18 @@ def _step_dir(root: str, step: int) -> str:
 
 
 def save_checkpoint(root: str, step: int, tree: Any, keep: Optional[int] = 3) -> str:
-    """Save pytree `tree` at `root/step_XXXXXXXXX`. Returns the path."""
-    os.makedirs(root, exist_ok=True)
+    """Save pytree `tree` at `root/step_XXXXXXXXX`. Returns the path.
+
+    Single-writer on pods: callers pass host-gathered (device_get) trees,
+    so only process 0 writes - every other process returns the path
+    without touching the filesystem (the accelerate is_main_process gate,
+    denoising_diffusion_pytorch.py:1783)."""
+    from dmhomo_tpu.parallel.distributed import is_main_process
+
     path = _step_dir(root, step)
+    if not is_main_process():
+        return path
+    os.makedirs(root, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         if os.path.exists(path):
             shutil.rmtree(path)

@@ -60,6 +60,10 @@ class MetricTracker:
         return False
 
     def dump(self, path: str, split: str):
+        from dmhomo_tpu.parallel.distributed import is_main_process
+
+        if not is_main_process():  # single writer on pods
+            return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(self.current(split), f, indent=2)

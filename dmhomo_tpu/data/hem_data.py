@@ -248,6 +248,7 @@ class SyntheticHomoPairs:
         max_offset: float = 8.0,
         seed: int = 0,
         noise: float = 0.01,
+        outlier_frac: float = 0.0,
     ):
         self.n = n
         self.crop_size = tuple(crop_size)
@@ -256,6 +257,13 @@ class SyntheticHomoPairs:
         self.max_offset = max_offset
         self.noise = noise
         self.seed = seed
+        # fraction of the image area covered by an "independently moving
+        # object": a rectangle in img2 whose content violates the global H
+        # (shifted copy of the local texture).  GT flows stay the H-flows,
+        # so the region is a true outlier - the material the
+        # uncertainty/mask head (NLL-Laplace, losses.py parity) must learn
+        # to downweight.  0 = rigid scene (old behavior).
+        self.outlier_frac = outlier_frac
 
     def __len__(self):
         return self.n
@@ -292,6 +300,21 @@ class SyntheticHomoPairs:
             borderMode=cv2.BORDER_REPLICATE,
         )
         img2 = np.clip(img2 + rng.normal(0, self.noise * 255, img2.shape), 0, 255)
+        if self.outlier_frac > 0:
+            # moving object: displace a rectangle of img2's content by an
+            # independent shift, breaking warp consistency there
+            area = self.outlier_frac * oh * ow
+            rh = int(np.sqrt(area * rng.uniform(0.5, 2.0)))
+            rw = max(int(area / max(rh, 1)), 8)
+            rh = min(max(rh, 8), oh // 2)
+            rw = min(rw, ow // 2)
+            ry = int(rng.integers(0, oh - rh))
+            rx = int(rng.integers(0, ow - rw))
+            dy = int(rng.integers(-rh // 2, rh // 2 + 1))
+            dx = int(rng.integers(-rw // 2, rw // 2 + 1))
+            sy = np.clip(ry + dy, 0, oh - rh)
+            sx = np.clip(rx + dx, 0, ow - rw)
+            img2[ry:ry + rh, rx:rx + rw] = img2[sy:sy + rh, sx:sx + rw]
         g1 = normalize_gray(img1)
         g2 = normalize_gray(img2)
         ph, pw = self.crop_size

@@ -178,9 +178,13 @@ def main_hem():
     trainer.init_state()
     stream = cycle(dl)
 
-    # compile the fused K-step program (the process's ONE program)
+    # compile the fused K-step program (the process's ONE program), then one
+    # warm dispatch: the first post-compile invocation pays the relay's
+    # program upload, which would otherwise be billed to the step-only row
     losses = trainer.train_steps([next(stream) for _ in range(K)])
     jax.block_until_ready(losses["total"])
+    losses = trainer.train_steps([next(stream) for _ in range(K)])
+    float(jax.device_get(losses["total"][-1]))
 
     # step-only rate: batches pre-drawn, K fused steps, single readback
     batches = [next(stream) for _ in range(K)]

@@ -49,6 +49,12 @@ class UNetConfig:
     # ~30% step FLOPs for activation memory (the reference burns ~300 GB for
     # global bs=128; remat makes per-chip microbatches fit 16 GB HBM)
     remat: bool = False
+    # feed the up-path skip connections as SECOND conv operands instead of
+    # materializing the (B, H, W, 2C) concats: conv(cat(a, b), K) ==
+    # conv(a, K[:, :, :C1]) + conv(b, K[:, :, C1:]) (kernel standardization
+    # runs on the full kernel first, so the math is exact and the param
+    # tree identical).  Perf knob - flip per AOT/on-chip measurement.
+    split_skip_convs: bool = False
 
 
 class WeightStandardizedConv(nn.Module):
@@ -61,8 +67,12 @@ class WeightStandardizedConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        in_ch = x.shape[-1]
+    def __call__(self, x, x2=None):
+        """``x2`` (optional): second input whose channels extend x's - the
+        conv behaves exactly as if applied to concat(x, x2) on the channel
+        axis, but the concat is never materialized (the kernel is split
+        after standardization, which runs on the full kernel)."""
+        in_ch = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -74,13 +84,21 @@ class WeightStandardizedConv(nn.Module):
         mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
         var = kernel.var(axis=(0, 1, 2), keepdims=True)  # biased, like torch.var(unbiased=False)
         kernel = (kernel - mean) * jax.lax.rsqrt(var + 1e-5)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=self.strides,
-            padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+
+        def conv(inp, k):
+            return jax.lax.conv_general_dilated(
+                inp.astype(self.dtype),
+                k.astype(self.dtype),
+                window_strides=self.strides,
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if x2 is None:
+            y = conv(x, kernel)
+        else:
+            C1 = x.shape[-1]
+            y = conv(x, kernel[:, :, :C1]) + conv(x2, kernel[:, :, C1:])
         return y + bias.astype(self.dtype)
 
 
@@ -129,8 +147,8 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, scale_shift=None):
-        x = WeightStandardizedConv(self.dim_out, (3, 3), dtype=self.dtype, name="proj")(x)
+    def __call__(self, x, scale_shift=None, skip=None):
+        x = WeightStandardizedConv(self.dim_out, (3, 3), dtype=self.dtype, name="proj")(x, skip)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
         )
@@ -140,13 +158,44 @@ class Block(nn.Module):
         return nn.silu(x).astype(self.dtype)
 
 
+class SplitConv1x1(nn.Module):
+    """1x1 conv over the virtual concat(x, x2) without materializing it.
+    Parameter names/shapes identical to nn.Conv."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x2):
+        in_total = x.shape[-1] + x2.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, in_total, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        C1 = x.shape[-1]
+        k = kernel.astype(self.dtype)
+
+        def conv(inp, kk):
+            return jax.lax.conv_general_dilated(
+                inp.astype(self.dtype), kk, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        return conv(x, k[:, :, :C1]) + conv(x2, k[:, :, C1:]) + bias.astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond_emb=None):
+    def __call__(self, x, cond_emb=None, skip=None):
+        """``skip`` (optional): the up-path skip tensor; the block behaves
+        exactly as if called on concat(x, skip) but both consumers (the
+        block1 WSConv and res_conv) take it as a split second operand, so
+        the (B, H, W, C+Cs) concat never hits HBM."""
         scale_shift = None
         if cond_emb is not None:
             h = nn.silu(cond_emb)
@@ -154,9 +203,15 @@ class ResnetBlock(nn.Module):
             h = h[:, None, None, :]
             scale_shift = jnp.split(h, 2, axis=-1)
 
-        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift, skip)
         h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
-        if x.shape[-1] != self.dim_out:
+        in_total = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        if skip is not None:
+            if in_total != self.dim_out:
+                x = SplitConv1x1(self.dim_out, self.dtype, name="res_conv")(x, skip)
+            else:
+                x = jnp.concatenate([x, skip], axis=-1)
+        elif in_total != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
         return h + x
 
@@ -358,12 +413,17 @@ class ConditionalUNet(nn.Module):
         )(x)
         x = Res(mid_dim, groups, dt, name="mid_block2")(x, cond)
 
+        split = cfg.split_skip_convs
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i == len(in_out) - 1
-            x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = Res(dim_out, groups, dt, name=f"up_{i}_block1")(x, cond)
-            x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = Res(dim_out, groups, dt, name=f"up_{i}_block2")(x, cond)
+            if split:
+                x = Res(dim_out, groups, dt, name=f"up_{i}_block1")(x, cond, skip=hs.pop())
+                x = Res(dim_out, groups, dt, name=f"up_{i}_block2")(x, cond, skip=hs.pop())
+            else:
+                x = jnp.concatenate([x, hs.pop()], axis=-1)
+                x = Res(dim_out, groups, dt, name=f"up_{i}_block1")(x, cond)
+                x = jnp.concatenate([x, hs.pop()], axis=-1)
+                x = Res(dim_out, groups, dt, name=f"up_{i}_block2")(x, cond)
             x = Wrap(
                 dim_out,
                 LinearAttention(dim_out, cfg.attn_heads, cfg.attn_dim_head, dt, cfg.fused_attention, name=f"up_{i}_attn"),
@@ -377,8 +437,11 @@ class ConditionalUNet(nn.Module):
             else:
                 x = nn.Conv(dim_in, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(x)
 
-        x = jnp.concatenate([x, r], axis=-1)
-        x = Res(dim, groups, dt, name="final_res_block")(x, cond)
+        if split:
+            x = Res(dim, groups, dt, name="final_res_block")(x, cond, skip=r)
+        else:
+            x = jnp.concatenate([x, r], axis=-1)
+            x = Res(dim, groups, dt, name="final_res_block")(x, cond)
         out = nn.Conv(cfg.channels, (1, 1), dtype=jnp.float32, name="final_conv")(
             x.astype(jnp.float32)
         )

@@ -11,6 +11,8 @@ import dataclasses
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False):
     import jax

@@ -312,3 +312,39 @@ def test_swin_fold_ln_matches_materialized(rng):
         a, b = np.asarray(a), np.asarray(b)
         rel = np.max(np.abs(a - b) / np.maximum(np.abs(a), 1e-2))
         assert rel < 5e-3, rel
+
+
+def test_unet_split_skip_convs_matches_concat(rng):
+    """split_skip_convs=True (skip tensors as second conv operands; the
+    up-path concats never materialize) is numerically equivalent to the
+    concat path with the SAME parameter tree: forward within fp32
+    rounding, grads within reassociation noise (scaled per-tensor)."""
+    import dataclasses
+
+    from dmhomo_tpu.models import ConditionalUNet, UNetConfig
+
+    cfg = UNetConfig(dim=8, num_classes=2, dim_mults=(1, 2))
+    cfg_s = dataclasses.replace(cfg, split_skip_convs=True)
+    m, ms = ConditionalUNet(cfg), ConditionalUNet(cfg_s)
+    B, S = 2, 16
+    args = dict(
+        x=jnp.asarray(rng.normal(0, 1, (B, S, S, 6)).astype(np.float32)),
+        time=jnp.asarray([3, 7]), classes=jnp.asarray([0, 1]),
+        rgb_flow=jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)),
+        mask=jnp.ones((B, S, S, 1)), keep_mask=jnp.asarray([True, False]),
+    )
+    v = m.init(jax.random.PRNGKey(0), **args)
+    vs = ms.init(jax.random.PRNGKey(0), **args)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vs)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(vs)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+    y1, y2 = m.apply(v, **args), ms.apply(v, **args)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    g1 = jax.grad(lambda p: jnp.sum(m.apply(p, **args) ** 2))(v)
+    g2 = jax.grad(lambda p: jnp.sum(ms.apply(p, **args) ** 2))(v)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        assert float(np.max(np.abs(a - b))) / scale < 1e-4

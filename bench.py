@@ -37,6 +37,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -60,7 +61,11 @@ def main():
     from dmhomo_tpu.models.unet import make_unet_apply
 
     B, S, S_STEP = 64, 256, 32
-    unet_cfg = UNetConfig(dim=64, num_classes=1, dtype=jnp.bfloat16)
+    # A/B knob (read ONCE here at program build, before any trace): feed the
+    # up-path skips as second conv operands instead of materializing concats
+    split_skip = os.environ.get("DMHOMO_SPLIT_SKIP", "0") == "1"
+    unet_cfg = UNetConfig(dim=64, num_classes=1, dtype=jnp.bfloat16,
+                          split_skip_convs=split_skip)
     model = ConditionalUNet(unet_cfg)
     gd = GaussianDiffusion(
         make_unet_apply(model),
@@ -125,7 +130,8 @@ def main():
         "value": round(samples_per_sec, 3),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_2080TI_SAMPLES_PER_SEC, 2),
-        "method": f"fused fori_loop K={K}, single readback, best of {runs}",
+        "method": f"fused fori_loop K={K}, single readback, best of {runs}"
+                  + (", split_skip_convs" if split_skip else ""),
         "fused_runs": [round(r, 3) for r in rates],
         "percall_samples_per_sec": round(percall_rate, 3),
     }))

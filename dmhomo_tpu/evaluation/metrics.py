@@ -131,3 +131,40 @@ def category_report(buckets: Dict[str, list]) -> Dict[str, float]:
     cats = [report[c] for c in CATEGORY_NAMES]
     report["AVG"] = float(np.nanmean(cats)) if not all(np.isnan(cats)) else float("nan")
     return report
+
+
+def point_error_under_h(src: jnp.ndarray, dst: jnp.ndarray, H: jnp.ndarray,
+                        reproduce_axis_quirk: bool = False) -> jnp.ndarray:
+    """Per-point matching error under a homography (ComputeErrH_kornia,
+    HEM/loss/losses.py:187-194).
+
+    src, dst: (B, N, 2) matched (x, y) points; H: (B, 3, 3).
+    Returns (B, N) errors ||dst - H(src)||.
+
+    The reference variant is dead code (its only call site is commented out,
+    losses.py:246-254) and carries an apparent typo: its x-term compares the
+    warped x against *src* x instead of dst x.  Default computes the
+    intended distance-to-dst; `reproduce_axis_quirk=True` reproduces the
+    reference expression bit-for-bit for archaeology.
+    """
+    from ..geometry.homography import apply_homography
+
+    src_warp = apply_homography(H, src)
+    ref_x = src if reproduce_axis_quirk else dst
+    return jnp.sqrt((src_warp[:, :, 0] - ref_x[:, :, 0]) ** 2
+                    + (src_warp[:, :, 1] - dst[:, :, 1]) ** 2)
+
+
+def point_error_under_h_v2(src: jnp.ndarray, dst: jnp.ndarray,
+                           H: jnp.ndarray) -> jnp.ndarray:
+    """Scalar Frobenius error over ALL points (ComputeErrH_v2,
+    HEM/loss/losses.py:196-205; dead code in the reference).
+
+    src, dst: (N, 2) single-sample matched points; H: (3, 3).
+    Returns a scalar ||dst - H(src)||_F (the reference unsqueezes to a
+    batch of one and takes one global torch.linalg.norm).
+    """
+    from ..geometry.homography import apply_homography
+
+    src_warp = apply_homography(H[None], src[None])[0]
+    return jnp.sqrt(jnp.sum((dst - src_warp) ** 2))

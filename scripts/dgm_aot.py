@@ -16,8 +16,12 @@ def sample(bs):
     from dmhomo_tpu.models import ConditionalUNet, UNetConfig
     from dmhomo_tpu.models.unet import make_unet_apply
 
+    import os
+
     S = 256
-    cfg = UNetConfig(dim=64, num_classes=1, dtype=jnp.bfloat16)
+    split = os.environ.get("DMHOMO_SPLIT_SKIP", "0") == "1"  # read at build
+    cfg = UNetConfig(dim=64, num_classes=1, dtype=jnp.bfloat16,
+                     split_skip_convs=split)
     model = ConditionalUNet(cfg)
     gd = GaussianDiffusion(
         make_unet_apply(model),

@@ -46,6 +46,19 @@ def _uncond(self_condition=False, objective="pred_noise"):
     return UnconditionalGaussianDiffusion(model_fn, dcfg), params
 
 
+from dmhomo_tpu.utils.constructor import model_constructor as _model_constructor
+
+
+@_model_constructor
+def _constructor_demo_factory(dim=2):
+    return UncondUNet(UncondUNetConfig(dim=dim * 8, dim_mults=(1, 2)))
+
+
+@_model_constructor
+def _constructor_demo_tuple_factory(dim=2):
+    return (UncondUNet(UncondUNetConfig(dim=dim * 8, dim_mults=(1, 2))), "aux")
+
+
 def test_uncond_unet_shapes():
     cfg = UncondUNetConfig(dim=8, dim_mults=(1, 2), channels=3)
     model = UncondUNet(cfg)
@@ -299,3 +312,28 @@ def test_multihost_io_gated_on_process_zero(tmp_path, monkeypatch):
     assert os.path.exists(path)
     mt.dump(str(tmp_path / "m.json"), "val")
     assert os.path.exists(tmp_path / "m.json")
+
+
+def test_model_constructor_roundtrip(tmp_path):
+    """NetConstructor parity (HEM/utils_operations/model_constructor.py:5-66):
+    the decorated factory's output carries .constructor; save/load/get()
+    rebuilds an identical architecture."""
+    from dmhomo_tpu.utils import NetConstructor
+
+    net = _constructor_demo_factory(dim=3)
+    assert net.constructor.fun_name == "_constructor_demo_factory"
+    assert net.config.dim == 24  # attribute proxying to the wrapped module
+
+    path = net.constructor.save(str(tmp_path))
+    assert path.endswith("constructor.json")
+    rebuilt = NetConstructor.load(str(tmp_path)).get()
+    assert rebuilt.config.dim == 24
+    assert type(rebuilt.module).__name__ == type(net.module).__name__
+
+
+def test_model_constructor_tuple_return():
+    net, aux = _constructor_demo_tuple_factory(5)
+    assert aux == "aux"
+    assert net.constructor.args == (5,)
+    rebuilt, aux2 = net.constructor.get()
+    assert rebuilt.config.dim == 40 and aux2 == "aux"

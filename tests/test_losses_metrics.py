@@ -166,3 +166,51 @@ def test_testfn_category_lists_move_0000030_to_sf():
 
     b = bucket_by_category([7.0], ["0000030"], categories=TEST_CATEGORIES_TESTFN)
     assert b["SF"] == [7.0] and b["RE"] == []
+
+
+def test_point_error_under_h_matches_torch_expression(rng):
+    """ComputeErrH_kornia parity (losses.py:187-194, dead code there):
+    both the intended distance-to-dst and the reference's literal
+    x-axis quirk."""
+    from dmhomo_tpu.evaluation import point_error_under_h
+
+    B, N = 3, 6
+    src = rng.uniform(0, 100, (B, N, 2)).astype(np.float32)
+    dst = rng.uniform(0, 100, (B, N, 2)).astype(np.float32)
+    H = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    H[:, 0, 2] = rng.normal(0, 5, B)
+    H[:, 1, 2] = rng.normal(0, 5, B)
+    H[:, 2, :2] = rng.normal(0, 1e-4, (B, 2))
+
+    # torch reimplementation of the reference expression
+    ts, td, tH = map(torch.from_numpy, (src, dst, H))
+    ones = torch.ones_like(ts[..., :1])
+    warp = torch.einsum("bij,bnj->bni", tH, torch.cat([ts, ones], -1))
+    warp = warp[..., :2] / warp[..., 2:]
+    want_quirk = torch.sqrt((warp[:, :, 0] - ts[:, :, 0]) ** 2
+                            + (warp[:, :, 1] - td[:, :, 1]) ** 2).numpy()
+    want_fixed = torch.sqrt((warp[:, :, 0] - td[:, :, 0]) ** 2
+                            + (warp[:, :, 1] - td[:, :, 1]) ** 2).numpy()
+
+    got_quirk = np.asarray(point_error_under_h(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(H),
+        reproduce_axis_quirk=True))
+    got_fixed = np.asarray(point_error_under_h(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(H)))
+    np.testing.assert_allclose(got_quirk, want_quirk, atol=1e-4)
+    np.testing.assert_allclose(got_fixed, want_fixed, atol=1e-4)
+
+
+def test_point_error_under_h_v2_global_norm(rng):
+    """ComputeErrH_v2 (losses.py:196-205): one Frobenius norm over all
+    points; identity H on identical points gives 0."""
+    from dmhomo_tpu.evaluation import point_error_under_h_v2
+
+    N = 6
+    src = rng.uniform(0, 100, (N, 2)).astype(np.float32)
+    dst = src + rng.normal(0, 2, (N, 2)).astype(np.float32)
+    H = np.eye(3, dtype=np.float32)
+    got = float(point_error_under_h_v2(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(H)))
+    want = float(np.sqrt(np.sum((dst - src) ** 2)))
+    assert abs(got - want) < 1e-4
+    assert float(point_error_under_h_v2(jnp.asarray(src), jnp.asarray(src), jnp.asarray(H))) < 1e-6

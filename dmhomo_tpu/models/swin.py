@@ -61,6 +61,10 @@ class SwinConfig:
     remat_policy: Optional[str] = None
     # attention-logits dtype (see WindowAttention.sim_dtype); None = fp32
     sim_dtype: Optional[jnp.dtype] = None
+    # window-attention implementation: 'xla' (einsum path) or 'pallas'
+    # (ops/window_attention.py fused kernel - logits never touch HBM;
+    # sim_dtype is then moot since VMEM logits are always fp32)
+    attn_impl: str = "xla"
     # fold the pre-LayerNorms into the following qkv/MLP projections
     # (LayerNormStats/FoldedDense): the fp32 normalized (B, L, C) tensors
     # are never materialized - same trick as unet.ChannelLayerNorm's
@@ -241,6 +245,7 @@ class WindowAttention(nn.Module):
     # traffic of HEM training (the (Bn,h,N,N) sims are ~8x the token
     # volume); the softmax normalizer stays fp32-accumulated either way.
     sim_dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask=None, ln=None):
@@ -262,7 +267,16 @@ class WindowAttention(nn.Module):
         idx = jnp.asarray(relative_position_index(ws).reshape(-1))
         bias_ijh = table[idx].reshape(N, N, h)  # (i, j, head)
 
-        if self.packed:
+        if self.attn_impl == "pallas" and not self.packed:
+            # fused kernel: logits live in VMEM only; q scaled in-kernel
+            from dmhomo_tpu.ops.window_attention import fused_window_attention
+
+            m = jnp.asarray(mask, jnp.float32) if mask is not None else None
+            out = fused_window_attention(
+                qkv, bias_ijh.transpose(2, 0, 1).astype(jnp.float32), m,
+                num_heads=h, scale=hd**-0.5,
+            )
+        elif self.packed:
             q, k, v = jnp.split(qkv, 3, axis=-1)  # (Bn, N, C), channels (h, d)
             q = q * (hd**-0.5)
             head_of_c = np.arange(C) // hd
@@ -349,6 +363,7 @@ class SwinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     sim_dtype: Optional[jnp.dtype] = None
     fold_ln: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -361,7 +376,7 @@ class SwinBlock(nn.Module):
         shortcut = x
         attn = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.dtype,
-            sim_dtype=self.sim_dtype, name="attn"
+            sim_dtype=self.sim_dtype, attn_impl=self.attn_impl, name="attn"
         )
         if self.fold_ln:
             # norm1 stays un-materialized: the per-token (mean, rstd) ride
@@ -431,6 +446,45 @@ class PatchMerging(nn.Module):
         return x.reshape(B, (H // 2) * (W // 2), 2 * C)
 
 
+class PatchEmbed(nn.Module):
+    """Image -> patch tokens: conv3x3(C->E/3), conv3x3(E/3->E/3),
+    conv(patch, stride=patch)(E/3->E), flatten to (B, Ph*Pw, E), optional LN
+    (ref swin_multi.py:1063-1139; the `proj` conv there is itself unused).
+
+    NOTE: the reference *constructs* PatchEmbed inside SwinTransformer
+    (swin_multi.py:62-69) but its forward never calls it — the encoder
+    embeds via FeatureExtractor instead — so these are dead params there.
+    We ship the module for API completeness but likewise do not wire it
+    into SwinTransformer (keeping our param tree free of the reference's
+    dead weight; models/import_torch.py documents the importer-side skip).
+    """
+
+    img_size: tuple  # (H, W)
+    patch_size: int = 4
+    embed_dim: int = 96
+    patch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        if (H, W) != tuple(self.img_size):
+            raise ValueError(
+                f"Input image size ({H}*{W}) doesn't match model "
+                f"({self.img_size[0]}*{self.img_size[1]})."
+            )
+        e3 = self.embed_dim // 3
+        ps = self.patch_size
+        x = nn.Conv(e3, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(e3, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), padding="VALID",
+                    dtype=self.dtype, name="proj")(x)
+        x = x.reshape(B, (H // ps) * (W // ps), self.embed_dim)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        return x
+
+
 class BasicLayer(nn.Module):
     """One encoder stage: layer_depth sub-levels of Swin blocks + merges."""
 
@@ -445,6 +499,7 @@ class BasicLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     sim_dtype: Optional[jnp.dtype] = None
     fold_ln: bool = False
+    attn_impl: str = "xla"
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -473,6 +528,7 @@ class BasicLayer(nn.Module):
                     dtype=self.dtype,
                     sim_dtype=self.sim_dtype,
                     fold_ln=self.fold_ln,
+                    attn_impl=self.attn_impl,
                     name=f"sub{l}_block{i}",
                 )(x)
             if l < self.layer_depth - 1:
@@ -646,6 +702,7 @@ class SwinTransformer(nn.Module):
                 dtype=dt,
                 sim_dtype=cfg.sim_dtype,
                 fold_ln=cfg.fold_ln,
+                attn_impl=cfg.attn_impl,
                 remat=cfg.remat,
                 remat_policy=cfg.remat_policy,
                 name=f"encoder_{enc_idx}",

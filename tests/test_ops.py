@@ -114,3 +114,90 @@ def test_blockdiag_prenorm_fold_matches_explicit_ln(rng):
     folded = blockdiag_linear_attention(x, w, H, D, prenorm=(mean, rstd, g))
     explicit = blockdiag_linear_attention(y, w, H, D)
     np.testing.assert_allclose(np.asarray(folded), np.asarray(explicit), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused window attention (ops/window_attention.py)
+
+
+def _win_attn_xla(qkv, bias, mask, num_heads, clip=60.0):
+    """The max-free clipped-softmax branch of models/swin.py, stand-alone."""
+    Bn, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    dt = qkv.dtype
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(Bn, N, num_heads, hd)
+    k = k.reshape(Bn, N, num_heads, hd)
+    v = v.reshape(Bn, N, num_heads, hd)
+    sim = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32)
+    sim = sim + jnp.transpose(bias, (0, 1, 2))[None].astype(jnp.float32)
+    if mask is not None:
+        nW = mask.shape[0]
+        sim = sim.reshape(Bn // nW, nW, num_heads, N, N) + jnp.asarray(
+            mask, jnp.float32)[None, :, None]
+        sim = sim.reshape(Bn, num_heads, N, N)
+    e = jnp.exp(jnp.clip(sim, -clip, clip)).astype(dt)
+    s = jnp.sum(e.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhij,bjhd->bihd", e, v, preferred_element_type=jnp.float32)
+    out = (out / s.transpose(0, 2, 1)[..., None]).astype(dt)
+    return out.reshape(Bn, N, C)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_window_attention_matches_xla(rng, with_mask, dtype):
+    """Pallas fused W-MSA/SW-MSA (interpret mode) vs the swin.py max-free
+    branch: forward values match (ref swin_multi.py:330-430 semantics)."""
+    from dmhomo_tpu.ops.window_attention import fused_window_attention
+
+    B, nW, N, h, hd = 2, 6, 64, 3, 8
+    C = h * hd
+    Bn = B * nW
+    qkv = jnp.asarray(rng.normal(0, 1, (Bn, N, 3 * C)), dtype)
+    bias = jnp.asarray(rng.normal(0, 0.5, (h, N, N)), jnp.float32)
+    mask = None
+    if with_mask:
+        m = np.zeros((nW, N, N), np.float32)
+        m[rng.uniform(size=(nW, N, N)) < 0.3] = -100.0
+        mask = jnp.asarray(m)
+
+    got = fused_window_attention(qkv, bias, mask, num_heads=h, interpret=True)
+    want = _win_attn_xla(qkv, bias, mask, h)
+    atol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=atol
+    )
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_fused_window_attention_grads_match_xla(rng, with_mask):
+    """custom_vjp backward (flash-style recompute) vs autodiff through the
+    XLA branch: dqkv and dbias match."""
+    from dmhomo_tpu.ops.window_attention import fused_window_attention
+
+    B, nW, N, h, hd = 1, 4, 64, 2, 8
+    C = h * hd
+    Bn = B * nW
+    qkv = jnp.asarray(rng.normal(0, 1, (Bn, N, 3 * C)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.5, (h, N, N)), jnp.float32)
+    mask = None
+    if with_mask:
+        m = np.zeros((nW, N, N), np.float32)
+        m[rng.uniform(size=(nW, N, N)) < 0.3] = -100.0
+        mask = jnp.asarray(m)
+    tgt = jnp.asarray(rng.normal(0, 1, (Bn, N, C)), jnp.float32)
+
+    def loss_fused(qkv, bias):
+        o = fused_window_attention(qkv, bias, mask, num_heads=h, interpret=True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_xla(qkv, bias):
+        return jnp.sum((_win_attn_xla(qkv, bias, mask, h) - tgt) ** 2)
+
+    gq_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    gq_x, gb_x = jax.grad(loss_xla, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x),
+                               rtol=1e-4, atol=1e-4)

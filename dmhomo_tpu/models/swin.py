@@ -61,9 +61,13 @@ class SwinConfig:
     remat_policy: Optional[str] = None
     # attention-logits dtype (see WindowAttention.sim_dtype); None = fp32
     sim_dtype: Optional[jnp.dtype] = None
-    # window-attention implementation: 'xla' (einsum path) or 'pallas'
+    # window-attention implementation: 'xla' (einsum path), 'pallas'
     # (ops/window_attention.py fused kernel - logits never touch HBM;
-    # sim_dtype is then moot since VMEM logits are always fp32)
+    # sim_dtype is then moot since VMEM logits are always fp32), or
+    # 'fused_block' (ops/swin_block.py - the ENTIRE SwinBlock in one
+    # Pallas kernel: LN1/qkv/attention/proj/LN2/MLP all in VMEM, HBM
+    # traffic ~= x in + y out; falls back to 'xla' when fold_ln is set
+    # or the resolution is not window-divisible)
     attn_impl: str = "xla"
     # fold the pre-LayerNorms into the following qkv/MLP projections
     # (LayerNormStats/FoldedDense): the fp32 normalized (B, L, C) tensors
@@ -330,15 +334,25 @@ class WindowAttention(nn.Module):
             sim = jnp.einsum("bihd,bjhd->bhij", q, k,
                              preferred_element_type=sdt)
             sim = sim + bias_ijh.transpose(2, 0, 1)[None].astype(sdt)
+            sim_nomask = sim
             if mask is not None:
                 nW = mask.shape[0]
                 sim = sim.reshape(Bn // nW, nW, h, N, N) + jnp.asarray(mask, sdt)[None, :, None]
                 sim = sim.reshape(Bn, h, N, N)
+            # clip-validity diagnostic: max |real logit| (mask excluded -
+            # its -100 rows are MEANT to clip).  A no-op unless the caller
+            # runs apply(..., mutable=['intermediates']) - under jit the
+            # max is DCE'd otherwise.  HEMTrainer.logit_health surfaces it;
+            # the max-free softmax below is exact only while this stays
+            # under 60.
+            self.sow("intermediates", "max_abs_logit",
+                     jnp.max(jnp.abs(sim_nomask.astype(jnp.float32))))
             # max-free softmax: shift-invariance makes the data max
             # unnecessary (a static clip guards exp's range; the SW-MSA
             # -100 mask clips to -60 -> weight ~1e-26, as dead as -inf;
             # NOTE the clip is exact only while real logits stay within
-            # +-60 - tracked by the bf16-sim learning validation), and by
+            # +-60 - tracked by the bf16-sim learning validation and the
+            # max_abs_logit sow above), and by
             # linearity the row normalizer divides out AFTER the context
             # matmul - the normalized (Bn,h,N,N) attention tensor is never
             # materialized.  The normalizer stays fp32-accumulated; logits
@@ -350,6 +364,68 @@ class WindowAttention(nn.Module):
             out = (out / s.transpose(0, 2, 1)[..., None]).astype(dt)
             out = out.reshape(Bn, N, C)
         return nn.Dense(self.dim, dtype=dt, name="proj")(out)
+
+
+class _LNParams(nn.Module):
+    """Declares LayerNorm params identically to nn.LayerNorm (fused path)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense params identically to nn.Dense (fused path)."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.linear.default_kernel_init,
+                       (self.in_dim, self.out_dim))
+        b = (self.param("bias", nn.initializers.zeros, (self.out_dim,))
+             if self.use_bias else jnp.zeros((self.out_dim,), jnp.float32))
+        return k, b
+
+
+class _MlpParams(nn.Module):
+    """Declares Mlp's fc1/fc2 params (same names/init as the module)."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, c1 = _DenseParams(self.in_dim, self.hidden, name="fc1")()
+        w2, c2 = _DenseParams(self.hidden, self.in_dim, name="fc2")()
+        return w1, c1, w2, c2
+
+
+class _AttnParams(nn.Module):
+    """Declares WindowAttention's params (same names/init as the module)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        ws = self.window_size
+        wq, bq = _DenseParams(self.dim, self.dim * 3, self.qkv_bias,
+                              name="qkv")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
+        )
+        wp, bp = _DenseParams(self.dim, self.dim, True, name="proj")()
+        return wq, bq, table, wp, bp
 
 
 class SwinBlock(nn.Module):
@@ -372,6 +448,29 @@ class SwinBlock(nn.Module):
         if min(H, W) <= ws:  # ref :497-500
             ws, shift = min(H, W), 0
         B, L, C = x.shape
+
+        if (self.attn_impl == "fused_block" and not self.fold_ln
+                and H % ws == 0 and W % ws == 0):
+            # whole-block Pallas fusion (ops/swin_block.py): identical
+            # param tree, declared here without running the XLA ops
+            from dmhomo_tpu.ops.swin_block import fused_swin_block
+
+            g1, b1 = _LNParams(C, name="norm1")()
+            wq, bq, table, wp, bp = _AttnParams(
+                self.dim, ws, self.num_heads, self.qkv_bias, name="attn")()
+            g2, b2 = _LNParams(C, name="norm2")()
+            hidden = int(self.dim * self.mlp_ratio)
+            w1, c1, w2, c2 = _MlpParams(C, hidden, name="mlp")()
+            N = ws * ws
+            idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+            bias_hnn = table[idx].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+            mask = (jnp.asarray(shifted_window_mask(H, W, ws, shift),
+                                jnp.float32) if shift > 0 else None)
+            return fused_swin_block(
+                x, (g1, b1, wq, bq, bias_hnn, wp, bp, g2, b2, w1, c1, w2, c2),
+                mask, resolution=(H, W), window_size=ws,
+                num_heads=self.num_heads, shift=shift,
+            )
 
         shortcut = x
         attn = WindowAttention(

@@ -153,6 +153,11 @@ def _make_fused(Bn, N, C3, num_heads, nW, with_mask, dt_name, clip, scale,
     tb = _tile_windows(nW)
     grid = (Bn // tb,)
     in_specs = _specs(Bn, N, C3, num_heads, nW, tb, with_mask)
+    # backward holds ~4x the per-head temporaries (sim, e32, de, dsim all
+    # live fp32) - smaller tiles keep it inside the 16 MB VMEM budget
+    tb_b = _tile_windows(nW, cap=24)
+    grid_b = (Bn // tb_b,)
+    in_specs_b = _specs(Bn, N, C3, num_heads, nW, tb_b, with_mask)
 
     def fwd_call(qkv, bias, mask):
         args = (qkv, bias) + ((mask,) if with_mask else ())
@@ -188,13 +193,13 @@ def _make_fused(Bn, N, C3, num_heads, nW, with_mask, dt_name, clip, scale,
                             scale=scale)
         dqkv, dbias = pl.pallas_call(
             kern,
-            grid=grid,
-            in_specs=in_specs + [
-                pl.BlockSpec((tb, N, C), lambda t: (t, 0, 0),
+            grid=grid_b,
+            in_specs=in_specs_b + [
+                pl.BlockSpec((tb_b, N, C), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM)
             ],
             out_specs=(
-                pl.BlockSpec((tb, N, C3), lambda t: (t, 0, 0),
+                pl.BlockSpec((tb_b, N, C3), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((num_heads, N, N), lambda t: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -244,7 +249,9 @@ def fused_window_attention(qkv, bias, mask=None, *, num_heads, clip=60.0,
     if not interpret and _jax.default_backend() == "cpu":
         interpret = True  # CPU (tests / virtual mesh): Mosaic is TPU-only
     Bn, N, C3 = qkv.shape
-    nW = mask.shape[0] if mask is not None else min(Bn, 128)
+    # without a mask the tiling has no alignment constraint beyond
+    # dividing Bn; _tile_windows picks the per-call tile from this
+    nW = mask.shape[0] if mask is not None else Bn
     if Bn % nW:
         raise ValueError(f"Bn={Bn} not a multiple of nW={nW}")
     attend = _make_fused(Bn, N, C3, num_heads, nW, mask is not None,

@@ -306,6 +306,37 @@ class HEMTrainer:
         )
         return report
 
+    def logit_health(self, imgs_gray_patch) -> float:
+        """Max |attention logit| over every WindowAttention in one forward.
+
+        Clip-validity diagnostic for the max-free softmax (swin.py: the
+        static +-60 clip — and under bf16 training the bf16 sim dtype — is
+        exact only while real logits stay in range).  Collects the
+        `max_abs_logit` values sown by WindowAttention; runs a non-remat
+        twin of the model (identical param tree) since flax remat does not
+        re-emit intermediates."""
+        import dataclasses as _dc
+
+        import flax
+
+        est = self.config.estimator
+        if est.swin.remat:
+            est = _dc.replace(est, swin=_dc.replace(est.swin, remat=False))
+        model = HomographyEstimator(est)
+        _, mut = model.apply(
+            {"params": self.state["params"],
+             "batch_stats": self.state["batch_stats"]},
+            jnp.asarray(imgs_gray_patch), train=False,
+            mutable=["intermediates"],
+        )
+        leaves = [
+            jnp.max(jnp.stack(v))
+            for path, v in flax.traverse_util.flatten_dict(
+                mut["intermediates"]).items()
+            if path[-1] == "max_abs_logit"
+        ]
+        return float(jax.device_get(jnp.max(jnp.stack(leaves))))
+
     # -- loop ---------------------------------------------------------------
 
     def train_and_evaluate(

@@ -34,6 +34,12 @@ def main():
     p.add_argument("--policy", type=str, default=None)
     p.add_argument("--fold", action="store_true", help="fold_ln=True")
     p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--attn", type=str, default=None,
+                   choices=("xla", "pallas", "fused_block"),
+                   help="window-attention impl")
+    p.add_argument("--device-data", action="store_true",
+                   help="generate batches in-graph (isolates chip time "
+                        "from relay input transport)")
     args = p.parse_args()
 
     import jax
@@ -52,6 +58,8 @@ def main():
         swin = dataclasses.replace(swin, remat_policy=args.policy)
     if args.fold:
         swin = dataclasses.replace(swin, fold_ln=True)
+    if args.attn:
+        swin = dataclasses.replace(swin, attn_impl=args.attn)
     cfg = dataclasses.replace(
         cfg, estimator=dataclasses.replace(cfg.estimator, swin=swin)
     )
@@ -104,6 +112,38 @@ def main():
         dt = (time.time() - t0) / iters
         print(f"HEM train step (per-call) bs={BS}: {dt*1e3:.0f} ms "
               f"({BS/dt:.1f} pairs/s, loss {lv:.4f})")
+        return
+
+    if args.device_data:
+        # batches generated IN-GRAPH from a key: each dispatch uploads ~0
+        # bytes and reads back one scalar - isolates chip time from the
+        # relay's input-transport pathology (today's relay moves batch
+        # uploads at ~50 MB/s: 6 bs=32 batches = 848 MB = tens of seconds
+        # of pure transport that the host-data mode can't see past)
+        step_fn = trainer._build_train_steps()
+
+        @jax.jit
+        def fused(state, key):
+            ks = jax.random.split(key, args.k)
+            batches = {
+                "imgs_gray_patch": jax.random.normal(
+                    ks[0], (args.k, BS, ph, pw, 2), jnp.float32),
+                "flow_gt_patch": 4.0 * jax.random.normal(
+                    ks[1], (args.k, BS, ph, pw, 4), jnp.float32),
+            }
+            return step_fn(state, batches)
+
+        state = trainer.state
+        st, losses = fused(state, jax.random.PRNGKey(0))  # compile
+        jax.block_until_ready(losses["total"])
+        for r in range(args.runs):
+            t0 = time.time()
+            _, losses = fused(state, jax.random.PRNGKey(2 + r))
+            lv = float(jax.device_get(losses["total"][-1]))
+            dt = (time.time() - t0) / args.k
+            print(f"HEM fused(dev-data) {args.k}-step run {r}: "
+                  f"{dt*1e3:.0f} ms/step ({BS/dt:.1f} pairs/s, "
+                  f"loss {lv:.4f})", flush=True)
         return
 
     # fused: K content-varied batches per dispatch, single readback

@@ -412,3 +412,41 @@ def test_window_attention_pallas_impl_matches_xla(rng, shift):
         return np.asarray(blk.apply(params, x))
 
     np.testing.assert_allclose(run("pallas"), run("xla"), atol=2e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_swin_block_fused_impl_matches_xla(rng, shift):
+    """attn_impl='fused_block' (whole-block Pallas kernel,
+    ops/swin_block.py): identical param tree, forward values and all
+    gradients match the unfused module."""
+    from dmhomo_tpu.models.swin import SwinBlock
+
+    H = W = 16
+    dim, heads, ws = 24, 3, 8
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(0, 1, (2, H * W, dim)), jnp.float32)
+    tgt = jnp.asarray(r.normal(0, 1, (2, H * W, dim)), jnp.float32)
+
+    def mk(impl):
+        return SwinBlock(dim=dim, input_resolution=(H, W), num_heads=heads,
+                         window_size=ws, shift_size=shift, mlp_ratio=2.0,
+                         attn_impl=impl)
+
+    params = mk("xla").init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.map(lambda a: a.shape, params)
+            == jax.tree.map(lambda a: a.shape,
+                            mk("fused_block").init(jax.random.PRNGKey(0), x)))
+
+    def loss(impl, p, xx):
+        return jnp.sum((mk(impl).apply(p, xx) - tgt) ** 2)
+
+    y1 = mk("xla").apply(params, x)
+    y2 = mk("fused_block").apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    gp1, gx1 = jax.grad(lambda p, xx: loss("xla", p, xx), (0, 1))(params, x)
+    gp2, gx2 = jax.grad(lambda p, xx: loss("fused_block", p, xx), (0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp2)):
+        scale = max(float(np.max(np.abs(np.asarray(a)))), 1.0)
+        assert float(np.max(np.abs(np.asarray(a - b)))) / scale < 1e-5

@@ -544,3 +544,16 @@ def test_dgm_train_loop_fuse_steps_boundaries(tmp_path):
              on_milestone=lambda t, s: milestones.append(s), fuse_steps=3)
     assert milestones == [5]
     assert int(jax.device_get(tr.state["step"])) == 7
+
+
+def test_hem_logit_health_diagnostic():
+    """logit_health returns the max |attention logit| across every
+    WindowAttention (sown intermediates; remat config gets a non-remat
+    twin with the identical param tree).  At init with unit-normal input
+    the logits must sit far inside the max-free softmax's +-60 clip."""
+    trainer = HEMTrainer(_tiny_hem_config(remat=True), mesh=make_mesh(),
+                         steps_per_epoch=10)
+    trainer.init_state()
+    m = trainer.logit_health(_hem_batch()["imgs_gray_patch"])
+    assert np.isfinite(m)
+    assert 0.0 < m < 60.0

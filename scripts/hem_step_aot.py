@@ -14,7 +14,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False):
+def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False,
+          attn=None):
     import jax
     import jax.numpy as jnp
 
@@ -29,6 +30,8 @@ def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False):
         swin = dataclasses.replace(swin, remat_policy=policy)
     if fold_ln:
         swin = dataclasses.replace(swin, fold_ln=True)
+    if attn:
+        swin = dataclasses.replace(swin, attn_impl=attn)
     cfg = dataclasses.replace(
         cfg, estimator=dataclasses.replace(cfg.estimator, swin=swin)
     )
@@ -98,6 +101,12 @@ def main():
         elif name.startswith("policy_accum"):
             measure(name, policy="dots_with_no_batch_dims_saveable",
                     accum=int(name[12:]))
+        elif name.startswith("pallas_accum"):
+            measure(name, attn="pallas", accum=int(name[12:]))
+        elif name == "pallas":
+            measure(name, attn="pallas")
+        elif name == "fusedblock":
+            measure(name, attn="fused_block")
         elif name.startswith("accum"):
             if name.endswith("_noremat"):
                 measure(name, accum=int(name[5:].split("_")[0]), remat=False)

@@ -40,6 +40,10 @@ def main():
     p.add_argument("--device-data", action="store_true",
                    help="generate batches in-graph (isolates chip time "
                         "from relay input transport)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable per-block remat (with attn=pallas the "
+                        "logits never materialize, so remat's saving "
+                        "shrinks while its recompute cost stays)")
     args = p.parse_args()
 
     import jax
@@ -53,6 +57,8 @@ def main():
     cfg = HEMTrainConfig()
     if args.accum is not None:
         cfg = dataclasses.replace(cfg, grad_accum=args.accum)
+    if args.no_remat:
+        cfg = dataclasses.replace(cfg, remat=False)
     swin = cfg.estimator.swin
     if args.policy:
         swin = dataclasses.replace(swin, remat_policy=args.policy)

@@ -34,6 +34,10 @@ def main(argv=None):
     )
     parser.add_argument("--fuse-steps", type=int, default=1,
                         help="optimizer steps fused per dispatch (lax.scan driver)")
+    parser.add_argument("--attn", type=str, default=None,
+                        choices=("auto", "xla", "pallas", "fused_block"),
+                        help="window-attention impl (default: config 'auto' = "
+                             "fused Pallas kernel on TPU, einsum on CPU)")
     parser.add_argument("--out", type=str, default="experiments/hem")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -73,6 +77,10 @@ def main(argv=None):
         cfg = HEMTrainConfig.stage2(model_dir=args.out)
     else:
         cfg = HEMTrainConfig(model_dir=args.out)
+    if args.attn:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, attn_impl=args.attn)
 
     # datasets
     crop, ori, rho = cfg.estimator.crop_size, cfg.estimator.ori_size, cfg.rho

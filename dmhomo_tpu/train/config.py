@@ -100,6 +100,13 @@ class HEMTrainConfig:
     # XLA auto-remats on top of the explicit SwinBlock remat (BENCH.md
     # AOT table + its loop-body caveat).  Clamped to the per-device batch.
     grad_accum: int = 4
+    # window-attention implementation: 'auto' resolves to the fused Pallas
+    # kernel ('pallas', ops/window_attention.py - the (Bn,h,64,64) logits
+    # never touch HBM, 1.9-2x fwd+bwd at the shipped level shapes,
+    # BENCH.md) on accelerator backends and to 'xla' on CPU (where the
+    # kernel would run interpret-mode); 'xla'/'pallas'/'fused_block' force
+    # the choice; None keeps whatever `estimator.swin.attn_impl` says.
+    attn_impl: Optional[str] = "auto"
 
     @staticmethod
     def stage2(**overrides) -> "HEMTrainConfig":

@@ -33,6 +33,17 @@ from dmhomo_tpu.train.config import HEMTrainConfig
 from dmhomo_tpu.utils import MetricTracker, get_logger, load_checkpoint, save_checkpoint
 
 
+def resolve_attn_impl(requested: Optional[str], backend: Optional[str] = None) -> Optional[str]:
+    """Resolve HEMTrainConfig.attn_impl: 'auto' -> the fused Pallas window
+    attention on accelerator backends, 'xla' on CPU (the kernel only
+    interprets there).  Explicit values pass through; None = defer to the
+    SwinConfig."""
+    if requested != "auto":
+        return requested
+    backend = backend or jax.default_backend()
+    return "xla" if backend == "cpu" else "pallas"
+
+
 class HEMTrainer:
     def __init__(self, config: HEMTrainConfig, mesh=None, steps_per_epoch: Optional[int] = None):
         import dataclasses
@@ -53,6 +64,11 @@ class HEMTrainer:
             )
         if config.remat and not est.swin.remat:
             est = dataclasses.replace(est, swin=dataclasses.replace(est.swin, remat=True))
+        impl = resolve_attn_impl(config.attn_impl)
+        if impl is not None and est.swin.attn_impl != impl:
+            est = dataclasses.replace(
+                est, swin=dataclasses.replace(est.swin, attn_impl=impl)
+            )
         self.model = HomographyEstimator(est)
         # ExponentialLR(gamma) stepped per epoch == staircase exp decay
         self.steps_per_epoch = steps_per_epoch or config.train_num_steps

@@ -64,10 +64,11 @@ def main():
         swin = dataclasses.replace(swin, remat_policy=args.policy)
     if args.fold:
         swin = dataclasses.replace(swin, fold_ln=True)
-    if args.attn:
-        swin = dataclasses.replace(swin, attn_impl=args.attn)
     cfg = dataclasses.replace(
-        cfg, estimator=dataclasses.replace(cfg.estimator, swin=swin)
+        cfg, estimator=dataclasses.replace(cfg.estimator, swin=swin),
+        # None would leave the trainer's 'auto' default in play; pin the
+        # probe to exactly what was asked (default: the XLA einsum path)
+        attn_impl=args.attn or "xla",
     )
     trainer = HEMTrainer(cfg, steps_per_epoch=1000)
     trainer.init_state()

@@ -557,3 +557,24 @@ def test_hem_logit_health_diagnostic():
     m = trainer.logit_health(_hem_batch()["imgs_gray_patch"])
     assert np.isfinite(m)
     assert 0.0 < m < 60.0
+
+
+def test_hem_attn_impl_auto_resolution():
+    """HEMTrainConfig.attn_impl='auto' resolves per backend (pallas on
+    accelerators, xla on CPU where the kernel would only interpret);
+    explicit values pass through and override the SwinConfig."""
+    from dmhomo_tpu.train.hem_trainer import resolve_attn_impl
+
+    assert resolve_attn_impl("auto", backend="cpu") == "xla"
+    assert resolve_attn_impl("auto", backend="tpu") == "pallas"
+    assert resolve_attn_impl("auto", backend="axon") == "pallas"
+    assert resolve_attn_impl("xla", backend="tpu") == "xla"
+    assert resolve_attn_impl(None, backend="tpu") is None
+
+    # trainer propagation: explicit 'pallas' lands in the model's SwinConfig
+    cfg = _tiny_hem_config(attn_impl="pallas")
+    tr = HEMTrainer(cfg, mesh=make_mesh(), steps_per_epoch=10)
+    assert tr.model.config.swin.attn_impl == "pallas"
+    # 'auto' on the CPU test backend stays on the einsum path
+    tr2 = HEMTrainer(_tiny_hem_config(), mesh=make_mesh(), steps_per_epoch=10)
+    assert tr2.model.config.swin.attn_impl == "xla"

@@ -144,6 +144,20 @@ def _win_attn_xla(qkv, bias, mask, num_heads, clip=60.0):
     return out.reshape(Bn, N, C)
 
 
+def test_fused_window_attention_small_window(rng):
+    """ws=4 (N=16) — the learning-demo shape: the kernel must stay exact
+    below the 128-lane width (Mosaic pads internally)."""
+    from dmhomo_tpu.ops.window_attention import fused_window_attention
+
+    B, nW, N, h, hd = 2, 8, 16, 2, 8
+    C = h * hd
+    qkv = jnp.asarray(rng.normal(0, 1, (B * nW, N, 3 * C)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.5, (h, N, N)), jnp.float32)
+    got = fused_window_attention(qkv, bias, None, num_heads=h, interpret=True)
+    want = _win_attn_xla(qkv, bias, None, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 @pytest.mark.parametrize("with_mask", [False, True])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_fused_window_attention_matches_xla(rng, with_mask, dtype):

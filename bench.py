@@ -38,9 +38,19 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _note(msg: str) -> None:
+    """Progress heartbeat on stderr (stdout carries ONLY the JSON line).
+    On a degraded relay a single compile can take tens of minutes; without
+    these marks a run is indistinguishable from a hang."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 BASELINE_2080TI_SAMPLES_PER_SEC = 0.30
 # HEM: the reference publishes no throughput; derive one the same way as the
@@ -107,7 +117,9 @@ def main():
         return jax.lax.fori_loop(0, k_iters, body, 0.0)
 
     # warmup/compile (dynamic trip count -> one program serves K=1 and K=N)
+    _note("DGM program built; compiling + warmup dispatch (K=1)...")
     float(jax.device_get(generate_k(params, jax.random.PRNGKey(1), 1)))
+    _note("compile done; timing per-call health indicator")
 
     # per-call rate (the r1/r2 methodology): one generate per dispatch with a
     # host readback - relay-health indicator, NOT the headline
@@ -123,6 +135,7 @@ def main():
         t0 = time.time()
         float(jax.device_get(generate_k(params, jax.random.PRNGKey(10 + r), K)))
         rates.append(K * B / (time.time() - t0))
+        _note(f"fused run {r + 1}/{runs}: {rates[-1]:.3f} samples/s")
 
     samples_per_sec = max(rates)
     print(json.dumps({
@@ -174,11 +187,13 @@ def main_hem():
 
     # loader-only rate: fresh loader, cold iterator, full pass (host work;
     # prefetch threads included in the wall-clock)
+    _note("HEM synthetic shards written; timing cold loader pass")
     t0 = time.time()
     n = 0
     for b in DataLoader(ds, batch_size=BS, prefetch=4):
         n += b["img12"].shape[0]
     loader_rate = n / (time.time() - t0)
+    _note(f"loader: {loader_rate:.1f} pairs/s; building trainer")
 
     trainer = HEMTrainer(HEMTrainConfig(), steps_per_epoch=1000)
     trainer.init_state()
@@ -187,10 +202,15 @@ def main_hem():
     # compile the fused K-step program (the process's ONE program), then one
     # warm dispatch: the first post-compile invocation pays the relay's
     # program upload, which would otherwise be billed to the step-only row
+    _note(f"compiling fused {K}-step train program (attn_impl="
+          f"{trainer.config.attn_impl!r}; minutes on a healthy relay, tens "
+          "of minutes degraded)...")
     losses = trainer.train_steps([next(stream) for _ in range(K)])
     jax.block_until_ready(losses["total"])
+    _note("compile done; warm dispatch (program upload)")
     losses = trainer.train_steps([next(stream) for _ in range(K)])
     float(jax.device_get(losses["total"][-1]))
+    _note("warm dispatch done; timing step-only row")
 
     # step-only rate: batches pre-drawn, K fused steps, single readback
     batches = [next(stream) for _ in range(K)]
@@ -198,6 +218,7 @@ def main_hem():
     losses = trainer.train_steps(batches)
     loss_val = float(jax.device_get(losses["total"][-1]))
     step_rate = BS * K / (time.time() - t0)
+    _note(f"step-only: {step_rate:.1f} pairs/s; timing sustained e2e")
 
     # sustained end-to-end: loader drawing inside the timed loop
     rounds = 2
@@ -206,6 +227,7 @@ def main_hem():
         losses = trainer.train_steps([next(stream) for _ in range(K)])
         loss_val = float(jax.device_get(losses["total"][-1]))
     e2e_rate = BS * K * rounds / (time.time() - t0)
+    _note(f"e2e: {e2e_rate:.1f} pairs/s; running AOT cost analysis")
 
     # derived reference baseline from the step's actual FLOPs.  XLA's cost
     # model counts scan/while BODIES ONCE (BENCH.md caveat), so the fused

@@ -203,6 +203,7 @@ def main_hem():
     # warm dispatch: the first post-compile invocation pays the relay's
     # program upload, which would otherwise be billed to the step-only row
     _note(f"compiling fused {K}-step train program (attn_impl="
+          f"{trainer.model.config.swin.attn_impl!r} resolved from "
           f"{trainer.config.attn_impl!r}; minutes on a healthy relay, tens "
           "of minutes degraded)...")
     losses = trainer.train_steps([next(stream) for _ in range(K)])
@@ -259,6 +260,7 @@ def main_hem():
         "vs_baseline": round(e2e_rate / baseline_rate, 2),
         "loader_pairs_per_sec": round(loader_rate, 1),
         "step_pairs_per_sec": round(step_rate, 1),
+        "attn_impl": trainer.model.config.swin.attn_impl,
         "final_loss": round(loss_val, 4),
         "flops_source": flops_source,
         "flops_per_pair": flops_per_pair,
@@ -268,7 +270,17 @@ def main_hem():
 if __name__ == "__main__":
     import sys
 
-    if "--hem" in sys.argv:
+    if "--kernel-parity" in sys.argv:
+        # on-chip numeric validation of the compiled Pallas kernels
+        # (scripts/kernel_parity.py; writes reports/kernel_parity_tpu.json)
+        import runpy
+
+        runpy.run_path(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "kernel_parity.py"),
+            run_name="__main__",
+        )
+    elif "--hem" in sys.argv:
         main_hem()
     else:
         main()

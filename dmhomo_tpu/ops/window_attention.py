@@ -43,6 +43,46 @@ def _tile_windows(n_windows: int, cap: int = 64) -> int:
     return 1
 
 
+def _vmem_tile(nW: int, N: int, C: int, h: int, bytes_el: int,
+               with_mask: bool, *, bwd: bool, cap: int) -> int:
+    """VMEM-fit window tile: largest divisor of nW whose estimated scoped
+    VMEM stays inside a probe-calibrated budget.
+
+    The round-4 on-chip runs found the fixed 64/24-window caps overflow
+    Mosaic's 16 MB scoped VMEM at the L2 shape (C=96, h=24) — a compile
+    error, not a silent wrong answer — and, crucially, that bf16 I/O
+    blocks do NOT reduce scoped usage proportionally (bf16-L2 fwd tb=60
+    OOMs exactly like fp32 would; scripts/vmem_tile_recheck.py, twice).
+    So the model below counts every block at fp32-equivalent width:
+    double-buffered qkv/out/gout/dqkv/mask blocks + the single-buffered
+    (constant-index) bias/dbias blocks + one head's live temporaries.
+    Mosaic's real usage runs ~1.7-2x this estimate (scheduling slack,
+    sublane padding), so the budgets are EFFECTIVE values fitted to the
+    on-chip pass/fail boundaries (v5e, scripts/vmem_tile_probe.py +
+    vmem_tile_recheck.py): fwd 8.4 MiB, bwd 7.2 MiB.  Resulting tiles at
+    the shipped shapes — L0 fwd 60 / bwd 24, L1 fwd 60 / bwd 20 (all
+    compiled in the r4 parity run), L2 fwd 36 (proven fp32+bf16, ±mask)
+    / bwd 15 (proven fp32; bf16 proven up to 24) — every choice is a
+    measured-OK configuration, with the first measured-FAIL (fp32 fwd 45,
+    bf16 fwd 60, fp32 bwd 20) excluded by construction.
+    """
+    be = 4  # fp32-equivalent accounting (see docstring: bf16 saves ~nothing)
+    bias_fixed = h * N * N * 4 * (2 if bwd else 1)  # bias in (+ dbias out)
+    per = 2 * N * 3 * C * be          # qkv in, double-buffered
+    if bwd:
+        per += 2 * N * C * be         # gout in
+        per += 2 * N * 3 * C * be     # dqkv out
+        per += N * N * (12 + 2 * be)  # sim/e32/de fp32 + e/dsim
+    else:
+        per += 2 * N * C * be         # out, double-buffered
+        per += N * N * (4 + be)       # sim fp32 + e
+    if with_mask:
+        per += 2 * N * N * 4          # mask block, double-buffered
+    budget = int((7.2 if bwd else 8.4) * 2**20)
+    fit = max(1, (budget - bias_fixed) // per)
+    return _tile_windows(nW, min(cap, int(fit)))
+
+
 def _heads_of(qkv_c: int, num_heads: int):
     c = qkv_c // 3
     return c, c // num_heads
@@ -150,12 +190,14 @@ def _make_fused(Bn, N, C3, num_heads, nW, with_mask, dt_name, clip, scale,
                 interpret):
     dt = jnp.dtype(dt_name)
     C = C3 // 3
-    tb = _tile_windows(nW)
+    tb = _vmem_tile(nW, N, C, num_heads, dt.itemsize, with_mask,
+                    bwd=False, cap=64)
     grid = (Bn // tb,)
     in_specs = _specs(Bn, N, C3, num_heads, nW, tb, with_mask)
     # backward holds ~4x the per-head temporaries (sim, e32, de, dsim all
     # live fp32) - smaller tiles keep it inside the 16 MB VMEM budget
-    tb_b = _tile_windows(nW, cap=24)
+    tb_b = _vmem_tile(nW, N, C, num_heads, dt.itemsize, with_mask,
+                      bwd=True, cap=24)
     grid_b = (Bn // tb_b,)
     in_specs_b = _specs(Bn, N, C3, num_heads, nW, tb_b, with_mask)
 

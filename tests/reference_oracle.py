@@ -20,6 +20,20 @@ def reference_available() -> bool:
 
 
 def _stub(name, **attrs):
+    # Prefer the REAL package when it is importable (imageio, accelerate
+    # are baked into this image): registering a fake — or overwriting real
+    # attributes like imageio.mimsave — would corrupt the package for every
+    # later test in the process (the stub leaks via sys.modules).
+    try:
+        import importlib
+
+        mod = importlib.import_module(name)
+        for k, v in attrs.items():
+            if not hasattr(mod, k):
+                setattr(mod, k, v)
+        return mod
+    except ImportError:
+        pass
     if name in sys.modules:
         mod = sys.modules[name]
     else:

@@ -164,34 +164,30 @@ def bilinear_sample(
     img: (B, H, W, C); coords: (B, h, w, 2) of (x, y) pixel positions.
     Returns (B, h, w, C).  ``method='matmul'`` (default) runs the
     MXU-friendly interpolation-matrix formulation; ``method='gather'``
-    the 4-tap gather oracle (identical math).  The DMHOMO_WARP_METHOD
-    env var overrides the default (diagnostics/benchmarks).
-
-    NOTE: the env var is read at TRACE time.  jit caches are not keyed on
-    it, so changing it after a program has been traced has no effect on
-    that program - set it before the process (or before the first call of
-    a fresh jitted function).  Same caveat for DMHOMO_ABLATE_WARPS and
-    DMHOMO_LEGACY_WIN_SOFTMAX in models/.  Production code should pass
-    ``method=`` / config flags explicitly; the env vars exist for one-off
-    A/B probes (scripts/).
+    the 4-tap gather oracle (identical math).  The choice is plumbed
+    through config (EstimatorConfig.warp_method / SwinConfig.warp_method)
+    — an env var here would be read at TRACE time, which jit caches are
+    not keyed on (the round-2/3 footgun this replaced).
     """
-    import os
-
-    method = method or os.environ.get("DMHOMO_WARP_METHOD", "matmul")
+    method = method or "matmul"
     if method == "gather":
         return _bilinear_sample_gather(img, coords, mode)
     return _bilinear_sample_matmul(img, coords, mode)
 
 
-def warp_by_flow(img: jnp.ndarray, flow: jnp.ndarray, mode: str = "collapse") -> jnp.ndarray:
+def warp_by_flow(
+    img: jnp.ndarray, flow: jnp.ndarray, mode: str = "collapse",
+    method: str | None = None,
+) -> jnp.ndarray:
     """Backward-warp: out(x) = img(x + flow(x)).
 
     img (B,H,W,C), flow (B,h,w,2) -> (B,h,w,C). ``mode='border'`` gives the
     DGM `flow_warp` semantics; ``mode='collapse'`` the HEM `get_warp_flow`.
+    ``method`` as in :func:`bilinear_sample` (None = 'matmul').
     """
     _, h, w, _ = flow.shape
     coords = pixel_grid(h, w, dtype=flow.dtype)[None] + flow
-    return bilinear_sample(img, coords, mode=mode)
+    return bilinear_sample(img, coords, mode=mode, method=method)
 
 
 def warp_by_homography(

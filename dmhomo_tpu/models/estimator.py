@@ -19,7 +19,7 @@ programs instead of the reference's in-graph branch (SURVEY.md hard parts).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -37,6 +37,11 @@ class EstimatorConfig:
     num_basis: int = 8
     swin: SwinConfig = SwinConfig()
     dtype: jnp.dtype = jnp.float32
+    # diagnostics-only (r4: config, not env vars — see SwinConfig):
+    # skip the feature/mask warps (A/B probes; NOT the reference algorithm)
+    ablate_warps: bool = False
+    # bilinear warp formulation: None = 'matmul'; 'gather' = oracle
+    warp_method: Optional[str] = None
 
 
 class SharedFeatureExtractor(nn.Module):
@@ -116,23 +121,26 @@ class HomographyEstimator(nn.Module):
 
         # feature/mask warps run in the activation dtype (bf16 configs hit
         # the fast matmul-warp path; fp32 configs stay exact for parity)
-        import os
-        if os.environ.get("DMHOMO_ABLATE_WARPS") == "1":  # diagnostics only
+        if cfg.ablate_warps:  # diagnostics only, NOT the reference
             f2_warp, f1_warp = f2.astype(cfg.dtype), f1.astype(cfg.dtype)
         else:
-            f2_warp = warp_by_flow(f2.astype(cfg.dtype), flow_f, mode="collapse")
-            f1_warp = warp_by_flow(f1.astype(cfg.dtype), flow_b, mode="collapse")
+            f2_warp = warp_by_flow(f2.astype(cfg.dtype), flow_f,
+                                   mode="collapse", method=cfg.warp_method)
+            f1_warp = warp_by_flow(f1.astype(cfg.dtype), flow_b,
+                                   mode="collapse", method=cfg.warp_method)
 
         MaskNet = nn.remat(FlowMaskEstimator) if cfg.swin.remat else FlowMaskEstimator
         mask_net = MaskNet(dtype=cfg.dtype, name="mask_generator")
         mask_f = mask_net(jnp.concatenate([f1.astype(cfg.dtype), f2_warp], axis=-1))
         mask_b = mask_net(jnp.concatenate([f2.astype(cfg.dtype), f1_warp], axis=-1))
 
-        if os.environ.get("DMHOMO_ABLATE_WARPS") == "1":  # diagnostics only
+        if cfg.ablate_warps:  # diagnostics only, NOT the reference
             mask_b_warp = jnp.clip(mask_b.astype(cfg.dtype), 0.0, 1.0)
         else:
             mask_b_warp = jnp.clip(
-                warp_by_flow(mask_b.astype(cfg.dtype), flow_f, mode="collapse"), 0.0, 1.0
+                warp_by_flow(mask_b.astype(cfg.dtype), flow_f,
+                             mode="collapse", method=cfg.warp_method),
+                0.0, 1.0,
             )
         mask_fusion = _normalize_fusion(mask_b_warp * mask_f)
 

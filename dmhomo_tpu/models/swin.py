@@ -74,6 +74,17 @@ class SwinConfig:
     # are never materialized - same trick as unet.ChannelLayerNorm's
     # stats-folding.  Parameter tree is identical either way.
     fold_ln: bool = False
+    # --- diagnostics-only switches (r4: moved out of env vars so they are
+    # part of the traced config, never read inside a jitted forward) ---
+    # skip the inter-level feature warps (isolates warp cost in A/B probes;
+    # NOT the reference algorithm)
+    ablate_warps: bool = False
+    # data-max softmax with the normalized attention tensor materialized
+    # (A/B oracle for the max-free production softmax)
+    legacy_win_softmax: bool = False
+    # bilinear warp formulation: None = 'matmul' (MXU-friendly);
+    # 'gather' = the 4-tap gather oracle (geometry/warp.py)
+    warp_method: Optional[str] = None
 
     @property
     def num_layers(self) -> int:
@@ -250,6 +261,8 @@ class WindowAttention(nn.Module):
     # volume); the softmax normalizer stays fp32-accumulated either way.
     sim_dtype: Optional[jnp.dtype] = None
     attn_impl: str = "xla"
+    # diagnostic A/B path (SwinConfig.legacy_win_softmax)
+    legacy_softmax: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, ln=None):
@@ -312,7 +325,7 @@ class WindowAttention(nn.Module):
             out = jnp.einsum("bil,blc->bic", e, Vp,
                              preferred_element_type=jnp.float32)  # (Bn, N, C)
             out = (out / jnp.repeat(s3, hd, axis=-1)).astype(dt)
-        elif os.environ.get("DMHOMO_LEGACY_WIN_SOFTMAX") == "1":
+        elif self.legacy_softmax:
             # diagnostic A/B path: data-max softmax with the normalized
             # attention tensor materialized
             qkv = qkv.reshape(Bn, N, 3, h, hd)
@@ -440,6 +453,7 @@ class SwinBlock(nn.Module):
     sim_dtype: Optional[jnp.dtype] = None
     fold_ln: bool = False
     attn_impl: str = "xla"
+    legacy_softmax: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -475,7 +489,8 @@ class SwinBlock(nn.Module):
         shortcut = x
         attn = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.dtype,
-            sim_dtype=self.sim_dtype, attn_impl=self.attn_impl, name="attn"
+            sim_dtype=self.sim_dtype, attn_impl=self.attn_impl,
+            legacy_softmax=self.legacy_softmax, name="attn"
         )
         if self.fold_ln:
             # norm1 stays un-materialized: the per-token (mean, rstd) ride
@@ -599,6 +614,7 @@ class BasicLayer(nn.Module):
     sim_dtype: Optional[jnp.dtype] = None
     fold_ln: bool = False
     attn_impl: str = "xla"
+    legacy_softmax: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -628,6 +644,7 @@ class BasicLayer(nn.Module):
                     sim_dtype=self.sim_dtype,
                     fold_ln=self.fold_ln,
                     attn_impl=self.attn_impl,
+                    legacy_softmax=self.legacy_softmax,
                     name=f"sub{l}_block{i}",
                 )(x)
             if l < self.layer_depth - 1:
@@ -775,10 +792,12 @@ class SwinTransformer(nn.Module):
                 flow_l = upsample_flow_to(flow, (h_x, w_x), scale=True)
                 # warp in the activation dtype: bf16 configs take the fast
                 # matmul-warp path, fp32 configs stay exact
-                if os.environ.get("DMHOMO_ABLATE_WARPS") == "1":  # diagnostics
+                if cfg.ablate_warps:  # diagnostics only, NOT the reference
                     x2_warp = x2.astype(dt)
                 else:
-                    x2_warp = warp_by_flow(x2.astype(dt), flow_l, mode="collapse")
+                    x2_warp = warp_by_flow(x2.astype(dt), flow_l,
+                                           mode="collapse",
+                                           method=cfg.warp_method)
 
             # warp_by_flow returns fp32 (geometry precision); the encoder
             # runs in the activation dtype
@@ -802,6 +821,7 @@ class SwinTransformer(nn.Module):
                 sim_dtype=cfg.sim_dtype,
                 fold_ln=cfg.fold_ln,
                 attn_impl=cfg.attn_impl,
+                legacy_softmax=cfg.legacy_win_softmax,
                 remat=cfg.remat,
                 remat_policy=cfg.remat_policy,
                 name=f"encoder_{enc_idx}",

@@ -10,12 +10,12 @@ for i in $(seq 1 40); do
     echo "=== RECOVERED - running battery ==="
     echo "--- bench (DGM headline) ---"
     timeout 1800 python bench.py 2>/dev/null | tail -1
-    echo "--- HEM step accum=8 (default) ---"
-    timeout 1800 python scripts/hem_step_probe.py step 2>/dev/null | tail -1
+    echo "--- HEM step (default accum) ---"
+    timeout 1800 python scripts/hem_step_probe.py --mode step 2>/dev/null | tail -1
     echo "--- HEM step accum=1 ---"
-    DMHOMO_HEM_ACCUM=1 timeout 1800 python scripts/hem_step_probe.py step 2>/dev/null | tail -1
+    timeout 1800 python scripts/hem_step_probe.py --mode step --accum 1 2>/dev/null | tail -1
     echo "--- HEM step gather warps ---"
-    DMHOMO_WARP_METHOD=gather timeout 1800 python scripts/hem_step_probe.py step 2>/dev/null | tail -1
+    timeout 1800 python scripts/hem_step_probe.py --mode step --warp-method gather 2>/dev/null | tail -1
     echo "--- health after battery ---"
     timeout 420 python scripts/tpu_health.py 2>/dev/null | tail -1
     echo "=== BATTERY DONE ==="

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False,
-          attn=None):
+          attn=None, warp_method=None, ablate_warps=False):
     import jax
     import jax.numpy as jnp
 
@@ -32,9 +32,15 @@ def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False,
         swin = dataclasses.replace(swin, fold_ln=True)
     if attn:
         swin = dataclasses.replace(swin, attn_impl=attn)
-    cfg = dataclasses.replace(
-        cfg, estimator=dataclasses.replace(cfg.estimator, swin=swin)
+    if warp_method:
+        swin = dataclasses.replace(swin, warp_method=warp_method)
+    if ablate_warps:
+        swin = dataclasses.replace(swin, ablate_warps=True)
+    est = dataclasses.replace(
+        cfg.estimator, swin=swin,
+        warp_method=warp_method, ablate_warps=ablate_warps,
     )
+    cfg = dataclasses.replace(cfg, estimator=est)
     return HEMTrainer(cfg, steps_per_epoch=1000)
 
 
@@ -83,13 +89,9 @@ def main():
         elif name == "bf16sim_policy":
             measure(name, sim_bf16=True, policy="dots_with_no_batch_dims_saveable")
         elif name == "gatherwarp":
-            os.environ["DMHOMO_WARP_METHOD"] = "gather"
-            measure(name)
-            del os.environ["DMHOMO_WARP_METHOD"]
+            measure(name, warp_method="gather")
         elif name == "nowarp":
-            os.environ["DMHOMO_ABLATE_WARPS"] = "1"
-            measure(name)
-            del os.environ["DMHOMO_ABLATE_WARPS"]
+            measure(name, ablate_warps=True)
         elif name == "fold":
             measure(name, fold_ln=True)
         elif name == "fold_policy":

@@ -37,6 +37,9 @@ def main():
     p.add_argument("--attn", type=str, default=None,
                    choices=("xla", "pallas", "fused_block"),
                    help="window-attention impl")
+    p.add_argument("--warp-method", type=str, default=None,
+                   choices=("matmul", "gather"),
+                   help="bilinear warp formulation (default matmul)")
     p.add_argument("--device-data", action="store_true",
                    help="generate batches in-graph (isolates chip time "
                         "from relay input transport)")
@@ -64,8 +67,11 @@ def main():
         swin = dataclasses.replace(swin, remat_policy=args.policy)
     if args.fold:
         swin = dataclasses.replace(swin, fold_ln=True)
+    if args.warp_method:
+        swin = dataclasses.replace(swin, warp_method=args.warp_method)
     cfg = dataclasses.replace(
-        cfg, estimator=dataclasses.replace(cfg.estimator, swin=swin),
+        cfg, estimator=dataclasses.replace(
+            cfg.estimator, swin=swin, warp_method=args.warp_method),
         # None would leave the trainer's 'auto' default in play; pin the
         # probe to exactly what was asked (default: the XLA einsum path)
         attn_impl=args.attn or "xla",

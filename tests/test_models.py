@@ -244,6 +244,65 @@ def test_window_attention_packed_matches_naive(rng):
     np.testing.assert_allclose(np.asarray(o_pm), np.asarray(o_nm), atol=1e-5)
 
 
+def test_window_attention_legacy_softmax_matches(rng):
+    """The legacy data-max softmax diagnostic path (now a module flag,
+    formerly the DMHOMO_LEGACY_WIN_SOFTMAX env var) == the production
+    max-free clipped path, with and without mask."""
+    from dmhomo_tpu.models.swin import WindowAttention, shifted_window_mask
+
+    Bn, ws, h = 6, 4, 3
+    N, C = ws * ws, 12
+    x = jnp.asarray(rng.normal(0, 1, (Bn, N, C)).astype(np.float32))
+
+    prod = WindowAttention(C, ws, h)
+    legacy = WindowAttention(C, ws, h, legacy_softmax=True)
+    params = prod.init(jax.random.PRNGKey(0), x)["params"]
+
+    np.testing.assert_allclose(
+        np.asarray(prod.apply({"params": params}, x)),
+        np.asarray(legacy.apply({"params": params}, x)), atol=1e-5)
+    mask = jnp.asarray(shifted_window_mask(8, 12, ws, 2))
+    np.testing.assert_allclose(
+        np.asarray(prod.apply({"params": params}, x, mask)),
+        np.asarray(legacy.apply({"params": params}, x, mask)), atol=1e-5)
+
+
+def test_estimator_diagnostic_config_knobs(rng):
+    """ablate_warps / warp_method ride through EstimatorConfig+SwinConfig
+    (r4: replaced trace-time env vars).  gather == matmul warp; ablation
+    changes the output (the warps really were skipped)."""
+    import dataclasses
+
+    from dmhomo_tpu.models.estimator import EstimatorConfig, HomographyEstimator
+    from dmhomo_tpu.models.swin import SwinConfig
+
+    crop = (32, 64)
+    base = EstimatorConfig(
+        crop_size=crop, ori_size=(36, 72),
+        swin=SwinConfig(crop_size=crop, embed_dim=6, depths=(1, 1, 1),
+                        layer_depth=(3, 2, 1), num_heads=(2, 2, 2)),
+    )
+    x = jnp.asarray(rng.normal(0, 1, (1, *crop, 2)).astype(np.float32))
+    params = HomographyEstimator(base).init(jax.random.PRNGKey(0), x, train=False)
+
+    out = HomographyEstimator(base).apply(params, x, train=False)
+    out_g = HomographyEstimator(
+        dataclasses.replace(
+            base, warp_method="gather",
+            swin=dataclasses.replace(base.swin, warp_method="gather"))
+    ).apply(params, x, train=False)
+    np.testing.assert_allclose(np.asarray(out["mask_fusion"]),
+                               np.asarray(out_g["mask_fusion"]), atol=1e-4)
+
+    out_a = HomographyEstimator(
+        dataclasses.replace(
+            base, ablate_warps=True,
+            swin=dataclasses.replace(base.swin, ablate_warps=True))
+    ).apply(params, x, train=False)
+    assert np.abs(np.asarray(out["mask_fusion"]) -
+                  np.asarray(out_a["mask_fusion"])).max() > 1e-6
+
+
 def test_swin_remat_policy_matches_full_remat(rng):
     """remat_policy='dots_with_no_batch_dims_saveable' gives the same
     outputs and gradients as full SwinBlock remat (it only changes what

@@ -23,6 +23,11 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--stage2", action="store_true")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--ow", action="store_true",
+                        help="with --resume: restore weights only (the "
+                             "reference's -ow / --only_weights flow) — fresh "
+                             "optimizer + LR staircase; the stage-2 schedule "
+                             "uses this (README stage-2 step)")
     parser.add_argument("--restore-dir", type=str, default=None, help="ckpt root to resume from")
     parser.add_argument("--torch-ckpt", type=str, default=None, help="init from HEM .pth")
     parser.add_argument("--steps", type=int, default=0, help="override total steps")
@@ -120,7 +125,8 @@ def main(argv=None):
         trainer.load_params(params, batch_stats)
         logger.info(f"initialized from torch checkpoint {args.torch_ckpt}")
     if args.resume:
-        trainer.load(root=args.restore_dir or cfg.model_dir, tag="latest")
+        trainer.load(root=args.restore_dir or cfg.model_dir, tag="latest",
+                     weights_only=args.ow)
 
     total = args.steps or cfg.num_epochs * steps_per_epoch
     trainer.train_and_evaluate(

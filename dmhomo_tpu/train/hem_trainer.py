@@ -35,13 +35,13 @@ from dmhomo_tpu.utils import MetricTracker, get_logger, load_checkpoint, save_ch
 
 def resolve_attn_impl(requested: Optional[str], backend: Optional[str] = None) -> Optional[str]:
     """Resolve HEMTrainConfig.attn_impl: 'auto' -> the fused Pallas window
-    attention on accelerator backends, 'xla' on CPU (the kernel only
-    interprets there).  Explicit values pass through; None = defer to the
-    SwinConfig."""
+    attention on TPU ONLY (the `pltpu` kernel is Mosaic; it cannot run on
+    GPU, and on CPU it would only interpret), 'xla' everywhere else.
+    Explicit values pass through; None = defer to the SwinConfig."""
     if requested != "auto":
         return requested
     backend = backend or jax.default_backend()
-    return "xla" if backend == "cpu" else "pallas"
+    return "pallas" if backend == "tpu" else "xla"
 
 
 class HEMTrainer:
@@ -329,15 +329,19 @@ class HEMTrainer:
         static +-60 clip — and under bf16 training the bf16 sim dtype — is
         exact only while real logits stay in range).  Collects the
         `max_abs_logit` values sown by WindowAttention; runs a non-remat
-        twin of the model (identical param tree) since flax remat does not
-        re-emit intermediates."""
+        XLA-attention twin of the model (identical param tree): flax remat
+        does not re-emit intermediates, and the fused Pallas kernel keeps
+        its logits in VMEM — only the XLA einsum path sows.  The logits are
+        the same math either way (kernel parity: reports/kernel_parity_tpu
+        .json), so the twin measures the production run's magnitudes."""
         import dataclasses as _dc
 
         import flax
 
         est = self.config.estimator
-        if est.swin.remat:
-            est = _dc.replace(est, swin=_dc.replace(est.swin, remat=False))
+        if est.swin.remat or est.swin.attn_impl != "xla":
+            est = _dc.replace(
+                est, swin=_dc.replace(est.swin, remat=False, attn_impl="xla"))
         model = HomographyEstimator(est)
         _, mut = model.apply(
             {"params": self.state["params"],
@@ -409,12 +413,26 @@ class HEMTrainer:
         # val_model_best_*.pth (manager.py:128-200)
         return save_checkpoint(f"{root}/{tag}", step, host_state, keep=2)
 
-    def load(self, root: Optional[str] = None, tag: str = "latest", step=None):
+    def load(self, root: Optional[str] = None, tag: str = "latest", step=None,
+             weights_only: bool = False):
+        """Restore a checkpoint.
+
+        weights_only=True is the reference's `-ow` flow (manager.py:218-259
+        / train.py --only_weights): take params + batch_stats from the
+        checkpoint but keep THIS trainer's fresh optimizer state, step and
+        epoch counters — the stage-2 schedule restarts the staircase LR
+        from config.lr instead of inheriting stage-1's decayed tail."""
         root = root or self.config.model_dir
         if self.state is None:
             self.init_state()
         target = jax.device_get(self.state)
         restored = load_checkpoint(f"{root}/{tag}", step=step, target=target)
+        if weights_only:
+            restored = {
+                **jax.device_get(self.state),
+                "params": restored["params"],
+                "batch_stats": restored.get("batch_stats", {}),
+            }
         rep = replicated(self.mesh)
         self.state = jax.tree.map(lambda x: jax.device_put(x, rep), restored)
         return self.state

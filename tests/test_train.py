@@ -558,16 +558,29 @@ def test_hem_logit_health_diagnostic():
     assert np.isfinite(m)
     assert 0.0 < m < 60.0
 
+    # the production TPU config routes attention through the Pallas kernel,
+    # which keeps logits in VMEM and never sows — logit_health must fall
+    # back to the XLA twin (same params, same math) instead of crashing on
+    # an empty intermediates tree
+    tp = HEMTrainer(_tiny_hem_config(attn_impl="pallas"), mesh=make_mesh(),
+                    steps_per_epoch=10)
+    tp.init_state()
+    tp.state = dict(tp.state)
+    tp.state["params"] = trainer.state["params"]
+    tp.state["batch_stats"] = trainer.state["batch_stats"]
+    mp = tp.logit_health(_hem_batch()["imgs_gray_patch"])
+    assert np.isfinite(mp) and abs(mp - m) < 1e-5
+
 
 def test_hem_attn_impl_auto_resolution():
-    """HEMTrainConfig.attn_impl='auto' resolves per backend (pallas on
-    accelerators, xla on CPU where the kernel would only interpret);
-    explicit values pass through and override the SwinConfig."""
+    """HEMTrainConfig.attn_impl='auto' resolves per backend (pallas on TPU
+    ONLY — the Mosaic kernel cannot run on GPU and would only interpret on
+    CPU); explicit values pass through and override the SwinConfig."""
     from dmhomo_tpu.train.hem_trainer import resolve_attn_impl
 
     assert resolve_attn_impl("auto", backend="cpu") == "xla"
     assert resolve_attn_impl("auto", backend="tpu") == "pallas"
-    assert resolve_attn_impl("auto", backend="axon") == "pallas"
+    assert resolve_attn_impl("auto", backend="gpu") == "xla"
     assert resolve_attn_impl("xla", backend="tpu") == "xla"
     assert resolve_attn_impl(None, backend="tpu") is None
 

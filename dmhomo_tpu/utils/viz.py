@@ -64,6 +64,34 @@ def save_flip_gif(path: str, frames01: Sequence[np.ndarray], duration: float = 0
     imageio.mimsave(path, frames, duration=duration, loop=0)
 
 
+def vis_bad_case(path_dir: str, imgs6: np.ndarray, flow: np.ndarray,
+                 motion: float, duration: float = 0.5) -> str:
+    """Debugging dump for a rejected/extreme generation
+    (GaussianDiffusion.vis_bad_case, classifier_free_guidance.py:753-768):
+    a two-frame flip GIF, frame 1 = [img1 | img1], frame 2 =
+    [img2 | warp(img2, flow)] — the right half should hold still when the
+    flow explains the pair.  Writes ``badcase_{motion}.gif`` under
+    ``path_dir`` (first sample of the batch, like the reference) and
+    returns the path.
+
+    imgs6: (B, H, W, 6) in [0,1]; flow: (B, H, W, 2); motion: the
+    diagnostic tag (the reference uses the sampled motion magnitude).
+    """
+    import jax.numpy as jnp
+
+    from dmhomo_tpu.geometry import warp_by_flow
+
+    img1, img2 = imgs6[..., :3], imgs6[..., 3:]
+    warp = np.asarray(
+        warp_by_flow(jnp.asarray(img2[:1]), jnp.asarray(flow[:1]), mode="border")
+    )[0]
+    f1 = np.concatenate([img1[0], img1[0]], axis=1)
+    f2 = np.concatenate([img2[0], warp], axis=1)
+    path = os.path.join(path_dir, f"badcase_{motion}.gif")
+    save_flip_gif(path, [f1, f2], duration)
+    return path
+
+
 def warp_check_gif(path: str, img12_u8_chw: np.ndarray, homo: np.ndarray,
                    duration: float = 0.5) -> str:
     """Per-shard warp-consistency flip GIF on a generated pair

@@ -27,6 +27,12 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: minutes-long full-config tests")
+    config.addinivalue_line(
+        "markers",
+        "heavy: torch-oracle / chain-parity tests that dominate suite "
+        'wall-clock; run by default, deselect with -m "not heavy" for the '
+        "fast dev loop",
+    )
 
 
 @pytest.fixture

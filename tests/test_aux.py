@@ -190,6 +190,25 @@ def test_sample_panel_and_grid(tmp_path, rng):
     assert (tmp_path / "grid.png").exists() and (tmp_path / "flip.gif").exists()
 
 
+def test_vis_bad_case(tmp_path, rng):
+    """Counterpart of GaussianDiffusion.vis_bad_case
+    (classifier_free_guidance.py:753-768): zero flow => warp(img2)==img2,
+    so the two GIF frames differ only in their left halves."""
+    from dmhomo_tpu.utils.viz import vis_bad_case
+
+    imgs = rng.uniform(0, 1, (2, 16, 16, 6)).astype(np.float32)
+    flow = np.zeros((2, 16, 16, 2), np.float32)
+    path = vis_bad_case(str(tmp_path), imgs, flow, motion=3.0)
+    assert path.endswith("badcase_3.0.gif")
+    import imageio
+
+    frames = imageio.mimread(path)
+    assert len(frames) == 2
+    # right half of frame 2 == img2 under zero flow (uint8 rounding only)
+    got = frames[1][:, 16:, :3].astype(np.float32) / 255.0
+    np.testing.assert_allclose(got, imgs[0, ..., 3:], atol=2 / 255)
+
+
 def test_step_timer():
     import time
 

@@ -9,6 +9,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 from dmhomo_tpu.cli import dgm_sample, make_samples
 from dmhomo_tpu.diffusion import DiffusionConfig
@@ -133,6 +134,86 @@ def test_hem_eval_cli_ragged_tail(tmp_path):
     assert np.isfinite(report["AVG"])
     gifs = glob.glob(os.path.join(vis_dir, "*", "*.gif"))
     assert gifs, "no per-category mask_vis GIFs written"
+
+
+@pytest.mark.heavy
+def test_full_pipeline_integration(tmp_path):
+    """The complete SURVEY §0 pipeline in one chain on tiny shapes:
+    DGM checkpoint -> dgm_sample shards -> make_samples per-sample npys ->
+    hem_train stage-1 -> hem_train --stage2 --resume -> hem_eval.  Every
+    hand-off format (shard schema, HEMTrainDataset ingestion, two-stage
+    checkpoint resume, eval restore) is exercised by the actual CLIs —
+    the reference runs these steps by hand (README.md pipeline)."""
+    import json
+
+    from dmhomo_tpu.cli import hem_eval, hem_train
+
+    S = 16
+    # --- DGM: init, one step, checkpoint ---
+    ckpt_root = str(tmp_path / "dgm_ckpt")
+    cfg = DGMTrainConfig(
+        unet=UNetConfig(dim=8, num_classes=2, dim_mults=(1, 2)),
+        diffusion=DiffusionConfig(image_size=S, timesteps=50, sampling_timesteps=2),
+        train_batch_size=8,
+        results_dir=ckpt_root,
+        bf16=False,
+    )
+    trainer = DGMTrainer(cfg)
+    trainer.init_state()
+    batch = np.random.default_rng(0).uniform(0, 1, (8, S, S, 12)).astype(np.float32)
+    import jax
+
+    trainer.train_step(batch, np.zeros((8,), np.int32), jax.random.PRNGKey(0))
+    trainer.save()
+
+    # --- generate shards, explode to per-sample npys ---
+    gen = str(tmp_path / "gen")
+    dgm_sample.main([
+        "--ckpt", ckpt_root, "--synthetic", "16", "--dim", "8",
+        "--dim-mults", "1,2", "--num-classes", "2", "--image-size", str(S),
+        "--s-step", "2", "--bs", "4", "--batches", "2",
+        "--batches-per-shard", "1", "--exp", "pipe", "--out", gen,
+    ])
+    samples_dir = str(tmp_path / "samples")
+    make_samples.main([
+        "--shards", os.path.join(gen, "pipe", "dataset", "*.npy"),
+        "--out", samples_dir,
+    ])
+    assert len(glob.glob(os.path.join(samples_dir, "*.npy"))) >= 8
+
+    # --- HEM stage 1 on the generated samples ---
+    exp1 = str(tmp_path / "hem_stage1")
+    hem_train.main([
+        "--samples", samples_dir, "--tiny", "--steps", "2", "--out", exp1,
+        "--attn", "xla", "--seed", "0",
+    ])
+    assert os.path.isdir(os.path.join(exp1, "latest")), "stage-1 ckpt missing"
+
+    # --- stage 2: sup L1 on, resumed from the stage-1 checkpoint ---
+    exp2 = str(tmp_path / "hem_stage2")
+    hem_train.main([
+        "--samples", samples_dir, "--tiny", "--stage2", "--resume",
+        "--restore-dir", exp1, "--steps", "2", "--out", exp2, "--attn", "xla",
+    ])
+    assert os.path.isdir(os.path.join(exp2, "latest")), "stage-2 ckpt missing"
+
+    # --- evaluate the stage-2 checkpoint on a CAHomo-layout testset ---
+    data = str(tmp_path / "CAHomo")
+    _write_fake_cahomo(data, n_pairs=6)
+    model_dir = str(tmp_path / "exp")
+    os.makedirs(model_dir)
+    with open(os.path.join(model_dir, "params.json"), "w") as f:
+        json.dump({
+            "crop_size": [32, 64], "ori_size": [40, 72], "embed_dim": 8,
+            "depths": [1, 1, 1], "layer_depth": [3, 2, 1],
+            "num_heads": [2, 2, 4], "window_size": 4, "mlp_ratio": 2.0,
+        }, f)
+    report = hem_eval.main([
+        "--test-data", data, "--model-dir", model_dir,
+        "--ckpt", os.path.join(exp2, "latest"), "--batch-size", "8",
+    ])
+    assert set(report) == {"RE", "LT", "LL", "SF", "LF", "AVG"}
+    assert np.isfinite(report["AVG"])
 
 
 def test_make_conditions_cli(tmp_path):

@@ -4,11 +4,16 @@ The strongest parity guarantee (SURVEY.md 'hard parts' #1): same weights,
 same conditions, same noise sequence -> the full 8-step DDIM chain through a
 real (small) UNet must produce matching image pairs.  Covers schedule
 buffers, time grid, CFG extrapolation, x0 clipping and the update formula in
-one shot."""
+one shot.
+
+Tier: heavy (full torch DDIM chains are minutes-long on 1 CPU).  Runs by
+default; deselect with `-m "not heavy"` for the fast dev loop."""
 
 import numpy as np
 import pytest
 import torch
+
+pytestmark = pytest.mark.heavy
 
 import jax
 import jax.numpy as jnp

@@ -213,10 +213,22 @@ def main_hem():
     float(jax.device_get(losses["total"][-1]))
     _note("warm dispatch done; timing step-only row")
 
-    # step-only rate: batches pre-drawn, K fused steps, single readback
+    # step-only rate: batches pre-drawn AND pre-staged on device (the
+    # host->device upload of 6 raw batches is ~75 MB - tens of seconds of
+    # pure transport on a degraded relay, which belongs to the e2e row,
+    # not this one), K fused steps, single readback
+    from dmhomo_tpu.parallel import shard_stacked_batch
+
     batches = [next(stream) for _ in range(K)]
+    stacked = {
+        k: np.stack([np.asarray(b[k]) for b in batches])
+        for k in ("img12", "homo", "homo_inv", "start")
+    }
+    device_batches = shard_stacked_batch(
+        {k: jax.numpy.asarray(v) for k, v in stacked.items()}, trainer.mesh)
+    jax.block_until_ready(device_batches)
     t0 = time.time()
-    losses = trainer.train_steps(batches)
+    trainer.state, losses = trainer._train_steps_raw(trainer.state, device_batches)
     loss_val = float(jax.device_get(losses["total"][-1]))
     step_rate = BS * K / (time.time() - t0)
     _note(f"step-only: {step_rate:.1f} pairs/s; timing sustained e2e")
@@ -239,10 +251,6 @@ def main_hem():
     while accum_eff > 1 and BS % accum_eff:
         accum_eff -= 1
     try:
-        stacked = {
-            k: np.stack([np.asarray(b[k]) for b in batches])
-            for k in ("img12", "homo", "homo_inv", "start")
-        }
         cost = trainer._train_steps_raw.lower(
             jax.device_get(trainer.state), stacked
         ).compile().cost_analysis()

@@ -86,6 +86,7 @@ class HEMTrainer:
         self._train_steps = None  # fused multi-step variants
         self._train_steps_raw = None
         self._eval_forward = None
+        self._logit_health_fn = None
         self.state = None
 
     # -- state --------------------------------------------------------------
@@ -333,29 +334,40 @@ class HEMTrainer:
         does not re-emit intermediates, and the fused Pallas kernel keeps
         its logits in VMEM — only the XLA einsum path sows.  The logits are
         the same math either way (kernel parity: reports/kernel_parity_tpu
-        .json), so the twin measures the production run's magnitudes."""
+        .json), so the twin measures the production run's magnitudes.
+
+        The whole twin forward + reduction runs as ONE jitted program
+        (cached on the trainer): eager flax apply would dispatch each op
+        as its own relay call on the axon TPU backend (~3 ms/call floor,
+        BENCH.md) — minutes per health reading instead of one dispatch."""
         import dataclasses as _dc
 
         import flax
 
-        est = self.config.estimator
-        if est.swin.remat or est.swin.attn_impl != "xla":
-            est = _dc.replace(
-                est, swin=_dc.replace(est.swin, remat=False, attn_impl="xla"))
-        model = HomographyEstimator(est)
-        _, mut = model.apply(
-            {"params": self.state["params"],
-             "batch_stats": self.state["batch_stats"]},
-            jnp.asarray(imgs_gray_patch), train=False,
-            mutable=["intermediates"],
-        )
-        leaves = [
-            jnp.max(jnp.stack(v))
-            for path, v in flax.traverse_util.flatten_dict(
-                mut["intermediates"]).items()
-            if path[-1] == "max_abs_logit"
-        ]
-        return float(jax.device_get(jnp.max(jnp.stack(leaves))))
+        if self._logit_health_fn is None:
+            est = self.config.estimator
+            if est.swin.remat or est.swin.attn_impl != "xla":
+                est = _dc.replace(
+                    est, swin=_dc.replace(est.swin, remat=False, attn_impl="xla"))
+            model = HomographyEstimator(est)
+
+            def health(params, batch_stats, imgs):
+                _, mut = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    imgs, train=False, mutable=["intermediates"],
+                )
+                leaves = [
+                    jnp.max(jnp.stack(v))
+                    for path, v in flax.traverse_util.flatten_dict(
+                        mut["intermediates"]).items()
+                    if path[-1] == "max_abs_logit"
+                ]
+                return jnp.max(jnp.stack(leaves))
+
+            self._logit_health_fn = jax.jit(health)
+        return float(jax.device_get(self._logit_health_fn(
+            self.state["params"], self.state["batch_stats"],
+            jnp.asarray(imgs_gray_patch))))
 
     # -- loop ---------------------------------------------------------------
 

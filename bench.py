@@ -269,6 +269,7 @@ def main_hem():
         "loader_pairs_per_sec": round(loader_rate, 1),
         "step_pairs_per_sec": round(step_rate, 1),
         "attn_impl": trainer.model.config.swin.attn_impl,
+        "remat": trainer.model.config.swin.remat,
         "final_loss": round(loss_val, 4),
         "flops_source": flops_source,
         "flops_per_pair": flops_per_pair,

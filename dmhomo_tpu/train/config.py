@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 from dmhomo_tpu.diffusion import DiffusionConfig
 from dmhomo_tpu.losses import LossWeights
@@ -88,9 +88,15 @@ class HEMTrainConfig:
     seed: int = 0
     # TPU training knobs (the reference trains fp32 on GPUs): bf16
     # activations (params/norm stats stay fp32) and SwinBlock remat - the
-    # full-config fp32 bs=32 backward wants 84 GB HBM without them (BENCH.md)
+    # full-config fp32 bs=32 backward wants 84 GB HBM without them (BENCH.md).
+    # remat 'auto': OFF when the fused Pallas window attention is active and
+    # grad_accum >= 4 — the kernel keeps the (Bn,h,N,N) logits in VMEM and
+    # accumulation shrinks the per-microbatch working set, so the saved
+    # activations fit and skipping the per-block forward recompute is a
+    # measured +19% step throughput (BENCH.md r4: 1.96 -> 1.65 s/step);
+    # ON otherwise (the XLA einsum path's logits do not fit un-remat'ed).
     bf16: bool = True
-    remat: bool = True
+    remat: Union[bool, str] = "auto"
     # microbatch gradient accumulation inside the jitted step (lax.scan):
     # same update as one bs=train_batch_size step, 1/grad_accum the
     # activation memory (BN stats run per microbatch, like the reference's

@@ -44,6 +44,18 @@ def resolve_attn_impl(requested: Optional[str], backend: Optional[str] = None) -
     return "pallas" if backend == "tpu" else "xla"
 
 
+def resolve_remat(requested, attn_impl: Optional[str], grad_accum: int) -> bool:
+    """Resolve HEMTrainConfig.remat: 'auto' -> False when the fused Pallas
+    window attention is active AND grad_accum >= 4 (logits live in VMEM and
+    the microbatch working set fits; skipping the per-block forward
+    recompute measured +19% step throughput, BENCH.md r4), True otherwise
+    (the XLA path's materialized logits need the recompute to fit 16 GB).
+    Explicit booleans pass through."""
+    if requested != "auto":
+        return bool(requested)
+    return not (attn_impl == "pallas" and grad_accum >= 4)
+
+
 class HEMTrainer:
     def __init__(self, config: HEMTrainConfig, mesh=None, steps_per_epoch: Optional[int] = None):
         import dataclasses
@@ -62,13 +74,14 @@ class HEMTrainer:
                     est.swin, dtype=jnp.bfloat16, sim_dtype=jnp.bfloat16
                 ),
             )
-        if config.remat and not est.swin.remat:
-            est = dataclasses.replace(est, swin=dataclasses.replace(est.swin, remat=True))
         impl = resolve_attn_impl(config.attn_impl)
         if impl is not None and est.swin.attn_impl != impl:
             est = dataclasses.replace(
                 est, swin=dataclasses.replace(est.swin, attn_impl=impl)
             )
+        if resolve_remat(config.remat, est.swin.attn_impl, config.grad_accum) \
+                and not est.swin.remat:
+            est = dataclasses.replace(est, swin=dataclasses.replace(est.swin, remat=True))
         self.model = HomographyEstimator(est)
         # ExponentialLR(gamma) stepped per epoch == staircase exp decay
         self.steps_per_epoch = steps_per_epoch or config.train_num_steps

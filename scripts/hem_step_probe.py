@@ -82,7 +82,8 @@ def main():
     rng = np.random.default_rng(0)
     imgs = rng.normal(0, 1, (BS, ph, pw, 2)).astype(np.float32)
     flow_gt = rng.normal(0, 4, (BS, ph, pw, 4)).astype(np.float32)
-    print(f"devices: {jax.devices()} bf16: {cfg.bf16} remat: {cfg.remat} "
+    print(f"devices: {jax.devices()} bf16: {cfg.bf16} "
+          f"remat: {trainer.model.config.swin.remat} (from {cfg.remat!r}) "
           f"accum: {cfg.grad_accum} policy: {args.policy} fold: {args.fold}",
           flush=True)
 

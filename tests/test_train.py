@@ -591,3 +591,28 @@ def test_hem_attn_impl_auto_resolution():
     # 'auto' on the CPU test backend stays on the einsum path
     tr2 = HEMTrainer(_tiny_hem_config(), mesh=make_mesh(), steps_per_epoch=10)
     assert tr2.model.config.swin.attn_impl == "xla"
+
+
+def test_hem_remat_auto_resolution():
+    """HEMTrainConfig.remat='auto' turns SwinBlock remat OFF only in the
+    measured-safe regime — fused Pallas attention (logits never leave VMEM)
+    with grad_accum >= 4 (microbatch working set fits 16 GB) — where
+    skipping the per-block forward recompute is +19% step throughput
+    (BENCH.md r4).  Everywhere else remat stays ON; explicit booleans pass
+    through untouched."""
+    from dmhomo_tpu.train.hem_trainer import resolve_remat
+
+    assert resolve_remat("auto", "pallas", 4) is False
+    assert resolve_remat("auto", "pallas", 1) is True
+    assert resolve_remat("auto", "xla", 4) is True
+    assert resolve_remat("auto", None, 4) is True
+    assert resolve_remat(True, "pallas", 4) is True
+    assert resolve_remat(False, "xla", 1) is False
+
+    # trainer propagation: 'auto' + explicit pallas + default accum=4
+    # leaves swin.remat off; with the CPU-resolved xla path it forces it on
+    tr = HEMTrainer(_tiny_hem_config(attn_impl="pallas"), mesh=make_mesh(),
+                    steps_per_epoch=10)
+    assert tr.model.config.swin.remat is False
+    tr2 = HEMTrainer(_tiny_hem_config(), mesh=make_mesh(), steps_per_epoch=10)
+    assert tr2.model.config.swin.remat is True

@@ -84,11 +84,17 @@ def main():
     )
 
     dummy = dict(
-        x=jnp.zeros((1, S, S, 6)), time=jnp.zeros((1,), jnp.int32),
-        classes=jnp.zeros((1,), jnp.int32), rgb_flow=jnp.zeros((1, S, S, 3)),
-        mask=jnp.ones((1, S, S, 1)), keep_mask=jnp.ones((1,), bool),
+        x=np.zeros((1, S, S, 6), np.float32), time=np.zeros((1,), np.int32),
+        classes=np.zeros((1,), np.int32),
+        rgb_flow=np.zeros((1, S, S, 3), np.float32),
+        mask=np.ones((1, S, S, 1), np.float32),
+        keep_mask=np.ones((1,), bool),
     )
-    params = model.init(jax.random.PRNGKey(0), **dummy)["params"]
+    # init on the host CPU backend (eager flax init through the relay is
+    # one remote dispatch per op — minutes; threefry values are identical)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0), **dummy)["params"]
+    params = jax.device_put(params, jax.devices()[0])
 
     # real condition content (homography flow + HSV render)
     rng = np.random.default_rng(0)
@@ -233,12 +239,22 @@ def main_hem():
     step_rate = BS * K / (time.time() - t0)
     _note(f"step-only: {step_rate:.1f} pairs/s; timing sustained e2e")
 
-    # sustained end-to-end: loader drawing inside the timed loop
-    rounds = 2
+    # sustained end-to-end: loader drawing + host stacking + host->device
+    # upload all inside the timed loop, ONE host sync at the end.  No
+    # per-round readback: train_steps dispatches asynchronously and each
+    # round's upload overlaps the previous round's compute (the production
+    # train_and_evaluate loop has the same pipeline shape — it only syncs
+    # at log/eval boundaries).  A mid-loop device_get would serialize the
+    # ~75 MB/round relay transport with the chip, which is a bench
+    # artifact, not a property of the training pipeline.  Rounds are
+    # content-distinct batches, so relay memoization (BENCH.md validity
+    # #4) cannot collapse them, and the final [-1] readback depends on the
+    # last round's state chain.
+    rounds = 3
     t0 = time.time()
     for _ in range(rounds):
         losses = trainer.train_steps([next(stream) for _ in range(K)])
-        loss_val = float(jax.device_get(losses["total"][-1]))
+    loss_val = float(jax.device_get(losses["total"][-1]))
     e2e_rate = BS * K * rounds / (time.time() - t0)
     _note(f"e2e: {e2e_rate:.1f} pairs/s; running AOT cost analysis")
 

@@ -106,15 +106,25 @@ class DGMTrainer:
         cfg = self.config
         seed = cfg.seed if seed is None else seed
         S = cfg.diffusion.image_size
-        dummy = dict(
-            x=jnp.zeros((1, S, S, 6)),
-            time=jnp.zeros((1,), jnp.int32),
-            classes=jnp.zeros((1,), jnp.int32),
-            rgb_flow=jnp.zeros((1, S, S, 3)),
-            mask=jnp.ones((1, S, S, 1)),
-            keep_mask=jnp.ones((1,), bool),
+        dummy = dict(  # numpy: stays placement-neutral for either backend
+            x=np.zeros((1, S, S, 6), np.float32),
+            time=np.zeros((1,), np.int32),
+            classes=np.zeros((1,), np.int32),
+            rgb_flow=np.zeros((1, S, S, 3), np.float32),
+            mask=np.ones((1, S, S, 1), np.float32),
+            keep_mask=np.ones((1,), bool),
         )
-        params = self.model.init(jax.random.PRNGKey(seed), **dummy)["params"]
+        if jax.default_backend() != "cpu":
+            # eager flax init on the axon relay = one remote dispatch per
+            # op (minutes); run it on the host CPU backend instead — the
+            # threefry init values are backend-invariant — and transfer
+            # via the sharded device_put below (same trick as
+            # HEMTrainer.init_state)
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = self.model.init(
+                    jax.random.PRNGKey(seed), **dummy)["params"]
+        else:
+            params = self.model.init(jax.random.PRNGKey(seed), **dummy)["params"]
         state = {
             "params": params,
             "opt_state": self.tx.init(params),

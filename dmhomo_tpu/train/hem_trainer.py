@@ -108,8 +108,29 @@ class HEMTrainer:
         cfg = self.config
         seed = cfg.seed if seed is None else seed
         ph, pw = cfg.estimator.crop_size
-        dummy = jnp.zeros((1, ph, pw, 2))
-        variables = self.model.init(jax.random.PRNGKey(seed), dummy, train=False)
+        if jax.default_backend() != "cpu":
+            # Initialize on the host CPU backend and transfer: flax init
+            # runs EAGERLY, and on the axon TPU relay each of the
+            # thousands of init ops is its own remote dispatch/compile —
+            # 13-16 min per process measured, vs seconds on host.  The
+            # init twin uses the XLA attention with remat off: the param
+            # tree and the threefry init values are impl-invariant
+            # (logit_health's twin relies on the same fact), and it keeps
+            # the Pallas kernel from running interpret-mode on CPU.
+            import dataclasses as _dc
+            est = self.model.config
+            if est.swin.remat or est.swin.attn_impl != "xla":
+                est = _dc.replace(
+                    est, swin=_dc.replace(est.swin, remat=False, attn_impl="xla"))
+            twin = HomographyEstimator(est)
+            with jax.default_device(jax.devices("cpu")[0]):
+                variables = twin.init(
+                    jax.random.PRNGKey(seed), jnp.zeros((1, ph, pw, 2)),
+                    train=False)
+        else:
+            dummy = jnp.zeros((1, ph, pw, 2))
+            variables = self.model.init(
+                jax.random.PRNGKey(seed), dummy, train=False)
         state = {
             "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),

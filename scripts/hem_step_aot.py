@@ -104,7 +104,12 @@ def main():
             measure(name, policy="dots_with_no_batch_dims_saveable",
                     accum=int(name[12:]))
         elif name.startswith("pallas_accum"):
-            measure(name, attn="pallas", accum=int(name[12:]))
+            rest = name[12:]
+            if rest.endswith("_noremat"):
+                measure(name, attn="pallas", accum=int(rest.split("_")[0]),
+                        remat=False)
+            else:
+                measure(name, attn="pallas", accum=int(rest))
         elif name == "pallas":
             measure(name, attn="pallas")
         elif name == "fusedblock":

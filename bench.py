@@ -250,7 +250,12 @@ def main_hem():
     # content-distinct batches, so relay memoization (BENCH.md validity
     # #4) cannot collapse them, and the final [-1] readback depends on the
     # last round's state chain.
-    rounds = 3
+    # rounds=8: the FIRST round's ~75 MB upload cannot overlap anything
+    # (there is no prior compute in flight) - with only 3 rounds that
+    # fixed cost was ~1/3 of the window and the r4.0 record under-read a
+    # degraded relay by ~2 pairs/s; 8 rounds amortize it to noise while
+    # staying content-distinct (memoization-proof)
+    rounds = 8
     t0 = time.time()
     for _ in range(rounds):
         losses = trainer.train_steps([next(stream) for _ in range(K)])

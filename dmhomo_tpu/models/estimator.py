@@ -40,6 +40,15 @@ class EstimatorConfig:
     # diagnostics-only (r4: config, not env vars — see SwinConfig):
     # skip the feature/mask warps (A/B probes; NOT the reference algorithm)
     ablate_warps: bool = False
+    # skip the full-res FlowMaskEstimator heads (masks become ones) — the
+    # step-time decomposition probe's lever for the mask path's share
+    # (scripts/hem_step_probe.py --ablate-mask); NOT the reference
+    ablate_mask: bool = False
+    # mask-head formulation: 'concat' materializes the reference's DenseNet
+    # concat growth (bf16[B,320,576,82] & friends were the step's LARGEST
+    # HBM allocations); 'split' computes conv(concat(ys)) as a sum of
+    # sliced-kernel convs — same params, same math, no concats in HBM
+    mask_impl: str = "concat"
     # bilinear warp formulation: None = 'matmul'; 'gather' = oracle
     warp_method: Optional[str] = None
 
@@ -60,14 +69,73 @@ class SharedFeatureExtractor(nn.Module):
         return x
 
 
-class FlowMaskEstimator(nn.Module):
-    """DenseNet-style concat-growth mask head (ref :635-694)."""
+class _SlicedConv(nn.Module):
+    """A 3x3 conv over an IMPLICIT channel concat: same kernel/bias params
+    as `nn.Conv(features, (3,3), name=...)` on the materialized concat, but
+    applied as a sum of kernel-slice convs over the feature groups — the
+    (B, H, W, sum_c) concat never exists.  fp32 partial accumulation, one
+    cast at the end (== XLA's internal fp32 conv accumulation, modulo
+    fp32-sum associativity across groups)."""
 
-    f_channels: Sequence[int] = (8, 16, 32, 16, 8)
+    features: int
+    cin: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
+    def __call__(self, groups):
+        import jax
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        acc = None
+        off = 0
+        dn = jax.lax.conv_dimension_numbers(
+            groups[0].shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        for g in groups:
+            gc = g.shape[-1]
+            # conv in the activation dtype (fp32 MXU accumulation is
+            # internal); partials summed in fp32 — one bf16 rounding per
+            # group instead of the concat path's single one, ~1e-2 rel
+            y = jax.lax.conv_general_dilated(
+                g.astype(self.dtype),
+                kernel[:, :, off:off + gc, :].astype(self.dtype),
+                (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+            ).astype(jnp.float32)
+            acc = y if acc is None else acc + y
+            off += gc
+        assert off == self.cin, (off, self.cin)
+        return (acc + bias).astype(self.dtype)
+
+
+class FlowMaskEstimator(nn.Module):
+    """DenseNet-style concat-growth mask head (ref :635-694).
+
+    impl='split' (TPU default via EstimatorConfig.mask_impl) computes each
+    conv directly on the list of feature groups with sliced kernels: the
+    82/74/58-channel full-res concats — the HEM step's largest HBM
+    allocations — are never materialized, and every group is read once
+    per consumer instead of being re-copied into each later concat.
+    Identical param tree; equivalence tested in tests/test_models.py."""
+
+    f_channels: Sequence[int] = (8, 16, 32, 16, 8)
+    dtype: jnp.dtype = jnp.float32
+    impl: str = "concat"
+
+    @nn.compact
     def __call__(self, x):
+        if self.impl == "split":
+            groups = [x]  # newest-first, matching concat([y, x])
+            cin = x.shape[-1]
+            for i, ch in enumerate(self.f_channels):
+                y = _SlicedConv(ch, cin, self.dtype, name=f"conv{i + 1}")(groups)
+                groups.insert(0, nn.leaky_relu(y, 0.1))
+                cin += ch
+            out = _SlicedConv(1, cin, self.dtype, name="conv_last")(groups)
+            return nn.sigmoid(out.astype(jnp.float32))
+
         for i, ch in enumerate(self.f_channels):
             y = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i + 1}")(x)
             y = nn.leaky_relu(y, 0.1)
@@ -129,10 +197,18 @@ class HomographyEstimator(nn.Module):
             f1_warp = warp_by_flow(f1.astype(cfg.dtype), flow_b,
                                    mode="collapse", method=cfg.warp_method)
 
-        MaskNet = nn.remat(FlowMaskEstimator) if cfg.swin.remat else FlowMaskEstimator
-        mask_net = MaskNet(dtype=cfg.dtype, name="mask_generator")
-        mask_f = mask_net(jnp.concatenate([f1.astype(cfg.dtype), f2_warp], axis=-1))
-        mask_b = mask_net(jnp.concatenate([f2.astype(cfg.dtype), f1_warp], axis=-1))
+        if cfg.ablate_mask:  # diagnostics only, NOT the reference
+            mask_f = jnp.ones((B, hp, wp, 1), jnp.float32)
+            mask_b = jnp.ones((B, hp, wp, 1), jnp.float32)
+        else:
+            MaskNet = (nn.remat(FlowMaskEstimator) if cfg.swin.remat
+                       else FlowMaskEstimator)
+            mask_net = MaskNet(dtype=cfg.dtype, impl=cfg.mask_impl,
+                               name="mask_generator")
+            mask_f = mask_net(
+                jnp.concatenate([f1.astype(cfg.dtype), f2_warp], axis=-1))
+            mask_b = mask_net(
+                jnp.concatenate([f2.astype(cfg.dtype), f1_warp], axis=-1))
 
         if cfg.ablate_warps:  # diagnostics only, NOT the reference
             mask_b_warp = jnp.clip(mask_b.astype(cfg.dtype), 0.0, 1.0)

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False,
-          attn=None, warp_method=None, ablate_warps=False):
+          attn=None, warp_method=None, ablate_warps=False, mask_impl=None):
     import jax
     import jax.numpy as jnp
 
@@ -39,6 +39,7 @@ def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False,
     est = dataclasses.replace(
         cfg.estimator, swin=swin,
         warp_method=warp_method, ablate_warps=ablate_warps,
+        **({"mask_impl": mask_impl} if mask_impl else {}),
     )
     cfg = dataclasses.replace(cfg, estimator=est)
     return HEMTrainer(cfg, steps_per_epoch=1000)
@@ -112,6 +113,14 @@ def main():
                 measure(name, attn="pallas", accum=int(rest))
         elif name == "pallas":
             measure(name, attn="pallas")
+        elif name == "splitmask":
+            # the shipped r4 regime (pallas, no remat, accum=4) ± the
+            # concat-free mask head
+            measure(name, attn="pallas", accum=4, remat=False,
+                    mask_impl="split")
+        elif name == "concatmask":
+            measure(name, attn="pallas", accum=4, remat=False,
+                    mask_impl="concat")
         elif name == "fusedblock":
             measure(name, attn="fused_block")
         elif name.startswith("accum"):

@@ -47,6 +47,15 @@ def main():
                    help="disable per-block remat (with attn=pallas the "
                         "logits never materialize, so remat's saving "
                         "shrinks while its recompute cost stays)")
+    p.add_argument("--ablate-warps", action="store_true",
+                   help="skip the feature/mask warps (time-decomposition "
+                        "diagnostic; NOT the reference algorithm)")
+    p.add_argument("--ablate-mask", action="store_true",
+                   help="skip the full-res FlowMaskEstimator heads "
+                        "(time-decomposition diagnostic)")
+    p.add_argument("--mask-impl", type=str, default=None,
+                   choices=("concat", "split"),
+                   help="mask-head formulation (split = concat-free)")
     args = p.parse_args()
 
     import jax
@@ -69,9 +78,13 @@ def main():
         swin = dataclasses.replace(swin, fold_ln=True)
     if args.warp_method:
         swin = dataclasses.replace(swin, warp_method=args.warp_method)
+    if args.ablate_warps:  # estimator-level AND trunk-internal level warps
+        swin = dataclasses.replace(swin, ablate_warps=True)
     cfg = dataclasses.replace(
         cfg, estimator=dataclasses.replace(
-            cfg.estimator, swin=swin, warp_method=args.warp_method),
+            cfg.estimator, swin=swin, warp_method=args.warp_method,
+            ablate_warps=args.ablate_warps, ablate_mask=args.ablate_mask,
+            **({"mask_impl": args.mask_impl} if args.mask_impl else {})),
         # None would leave the trainer's 'auto' default in play; pin the
         # probe to exactly what was asked (default: the XLA einsum path)
         attn_impl=args.attn or "xla",

@@ -194,6 +194,48 @@ def test_estimator_forward_and_eval_views(rng):
     assert fusion.min() >= -1e-6 and np.isfinite(fusion).all()
 
 
+def test_mask_head_split_impl_matches_concat(rng):
+    """FlowMaskEstimator impl='split' (sliced-kernel convs over implicit
+    concats) == impl='concat' (the reference formulation): same param tree,
+    same values, same grads — fp32 tight, bf16 within rounding."""
+    from dmhomo_tpu.models.estimator import FlowMaskEstimator
+
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 24, 2)).astype(np.float32))
+
+    def loss(p, m):
+        return jnp.mean(m.apply(p, x) ** 2)
+
+    # fp32: exact equivalence (same params, same math, fp32 associativity)
+    ref = FlowMaskEstimator(dtype=jnp.float32, impl="concat")
+    new = FlowMaskEstimator(dtype=jnp.float32, impl="split")
+    params = ref.init(jax.random.PRNGKey(0), x)
+    params_s = new.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.map(jnp.shape, params) == jax.tree.map(jnp.shape, params_s)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["conv3"]["kernel"]),
+        np.asarray(params_s["params"]["conv3"]["kernel"]))  # same init
+    v32, g32 = jax.value_and_grad(loss)(params, ref)
+    v_s, g_s = jax.value_and_grad(loss)(params, new)
+    np.testing.assert_allclose(float(v_s), float(v32), rtol=2e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-5, atol=2e-5), g32, g_s)
+
+    # bf16: the two formulations round in different places (split sums
+    # fp32-cast partials; concat rounds one conv output), so compare each
+    # against the fp32 truth: split must be no worse an approximation
+    v_rb, g_rb = jax.value_and_grad(loss)(
+        params, FlowMaskEstimator(dtype=jnp.bfloat16, impl="concat"))
+    v_sb, g_sb = jax.value_and_grad(loss)(
+        params, FlowMaskEstimator(dtype=jnp.bfloat16, impl="split"))
+    assert abs(float(v_sb) - float(v32)) <= 4 * abs(float(v_rb) - float(v32)) + 1e-3
+    jax.tree.map(
+        lambda t, a, b: np.testing.assert_array_less(
+            np.abs(np.asarray(b) - np.asarray(t)).max(),
+            4 * np.abs(np.asarray(a) - np.asarray(t)).max() + 1e-2),
+        g32, g_rb, g_sb)
+
+
 def test_estimator_swap_symmetry(rng):
     """Backward pass = forward pass with swapped inputs (shared h_net)."""
     cfg = EstimatorConfig(crop_size=(64, 128), swin=_small_swin_cfg())
@@ -301,6 +343,17 @@ def test_estimator_diagnostic_config_knobs(rng):
     ).apply(params, x, train=False)
     assert np.abs(np.asarray(out["mask_fusion"]) -
                   np.asarray(out_a["mask_fusion"])).max() > 1e-6
+
+    # ablate_mask: mask heads become ones, flow path untouched (param init
+    # is per-path in flax, so fea/h_net params match the full model's)
+    cfg_m = dataclasses.replace(base, ablate_mask=True)
+    params_m = HomographyEstimator(cfg_m).init(jax.random.PRNGKey(0), x,
+                                               train=False)
+    assert "mask_generator" not in params_m["params"]
+    out_m = HomographyEstimator(cfg_m).apply(params_m, x, train=False)
+    assert np.all(np.asarray(out_m["mask_f"]) == 1.0)
+    np.testing.assert_allclose(np.asarray(out_m["flow_f"]),
+                               np.asarray(out["flow_f"]), atol=1e-6)
 
 
 def test_swin_remat_policy_matches_full_remat(rng):

@@ -250,14 +250,24 @@ def main_hem():
     # content-distinct batches, so relay memoization (BENCH.md validity
     # #4) cannot collapse them, and the final [-1] readback depends on the
     # last round's state chain.
-    # rounds=8: the FIRST round's ~75 MB upload cannot overlap anything
-    # (there is no prior compute in flight) - with only 3 rounds that
-    # fixed cost was ~1/3 of the window and the r4.0 record under-read a
-    # degraded relay by ~2 pairs/s; 8 rounds amortize it to noise while
-    # staying content-distinct (memoization-proof)
+    # The FIRST round's ~75 MB upload cannot overlap anything (no prior
+    # compute in flight), so it is pre-staged on device BEFORE the timed
+    # window - exactly what the production loop does (the loader prefetches
+    # and the first batch uploads during compile/init, train_and_evaluate
+    # only syncs at log/eval boundaries).  Rounds 1..R-1 draw + stack +
+    # upload inside the loop, overlapping the previous round's compute.
+    # Rounds are content-distinct batches, so relay memoization (BENCH.md
+    # validity #4) cannot collapse them, and the final [-1] readback
+    # depends on the last round's state chain.
     rounds = 8
+    round0 = shard_stacked_batch(
+        {k: jax.numpy.asarray(np.stack([np.asarray(b[k]) for b in
+                                        [next(stream) for _ in range(K)]]))
+         for k in ("img12", "homo", "homo_inv", "start")}, trainer.mesh)
+    jax.block_until_ready(round0)
     t0 = time.time()
-    for _ in range(rounds):
+    trainer.state, losses = trainer._train_steps_raw(trainer.state, round0)
+    for _ in range(rounds - 1):
         losses = trainer.train_steps([next(stream) for _ in range(K)])
     loss_val = float(jax.device_get(losses["total"][-1]))
     e2e_rate = BS * K * rounds / (time.time() - t0)

@@ -249,6 +249,7 @@ class SyntheticHomoPairs:
         seed: int = 0,
         noise: float = 0.01,
         outlier_frac: float = 0.0,
+        label_outliers: bool = False,
     ):
         self.n = n
         self.crop_size = tuple(crop_size)
@@ -264,6 +265,22 @@ class SyntheticHomoPairs:
         # uncertainty/mask head (NLL-Laplace, losses.py parity) must learn
         # to downweight.  0 = rigid scene (old behavior).
         self.outlier_frac = outlier_frac
+        # label_outliers=True: the GT flow labels in the outlier rectangle
+        # follow the ACTUAL (outlier) motion instead of the global H - the
+        # labels a dense-flow fit would produce.  This models the
+        # reference's training reality: DGM pair homographies are FITTED
+        # from sampled dense flows (denoising_diffusion_pytorch.py:
+        # 1647-1661), so wherever the generated pair carries
+        # non-homography content the per-pixel supervision disagrees with
+        # the dominant plane.  The mask-weighted stage-2 sup loss
+        # (HEM/loss/losses.py:154-156) exists to EXCLUDE those labels;
+        # with clean labels everywhere (label_outliers=False) a spatial
+        # reweighting of a smooth residual field cannot change the
+        # global-homography argmin and stage-2 is indistinguishable from
+        # equal-compute stage-1.  Also emits `inlier_mask_full` (0 in a
+        # dilated outlier rect) so eval points can be sampled on the
+        # dominant plane, like CAHomo's annotated static-background pts.
+        self.label_outliers = label_outliers
 
     def __len__(self):
         return self.n
@@ -300,6 +317,9 @@ class SyntheticHomoPairs:
             borderMode=cv2.BORDER_REPLICATE,
         )
         img2 = np.clip(img2 + rng.normal(0, self.noise * 255, img2.shape), 0, 255)
+        flow_f = homography_to_flow_np(homo, oh, ow, eps=1e-8)
+        flow_b = homography_to_flow_np(homo_inv, oh, ow, eps=1e-8)
+        inlier = np.ones((oh, ow, 1), np.float32)
         if self.outlier_frac > 0:
             # moving object: displace a rectangle of img2's content by an
             # independent shift, breaking warp consistency there
@@ -315,16 +335,30 @@ class SyntheticHomoPairs:
             sy = np.clip(ry + dy, 0, oh - rh)
             sx = np.clip(rx + dx, 0, ow - rw)
             img2[ry:ry + rh, rx:rx + rw] = img2[sy:sy + rh, sx:sx + rw]
+            if self.label_outliers:
+                # content at rect position q in img2 came from q+(s-r), so
+                # a feature visible there moved by H-flow + (r-s); the
+                # labels become the TRUE image motion (what a dense-flow
+                # fit would supervise with), diverging from the dominant
+                # plane inside the rect.  (Indexing the rect in img1
+                # coords for flow_f is exact up to the few-px H
+                # displacement - a boundary band, excluded from eval by
+                # the dilation below.)
+                ddx, ddy = float(rx - sx), float(ry - sy)
+                flow_f[ry:ry + rh, rx:rx + rw] += (ddx, ddy)
+                flow_b[ry:ry + rh, rx:rx + rw] -= (ddx, ddy)
+                pad = 12  # dilated exclusion band for eval-point sampling
+                y0, y1 = max(ry - pad, 0), min(ry + rh + pad, oh)
+                x0, x1 = max(rx - pad, 0), min(rx + rw + pad, ow)
+                inlier[y0:y1, x0:x1] = 0.0
         g1 = normalize_gray(img1)
         g2 = normalize_gray(img2)
         ph, pw = self.crop_size
         x = int(rng.integers(self.rho, ow - self.rho - pw + 1))
         y = int(rng.integers(self.rho, oh - self.rho - ph + 1))
 
-        flow_f = homography_to_flow_np(homo, oh, ow, eps=1e-8)
-        flow_b = homography_to_flow_np(homo_inv, oh, ow, eps=1e-8)
-
         return {
+            "inlier_mask_full": inlier,
             "imgs_gray_full": np.concatenate([g1, g2], axis=2),
             "imgs_gray_patch": np.concatenate(
                 [g1[y : y + ph, x : x + pw], g2[y : y + ph, x : x + pw]], axis=2

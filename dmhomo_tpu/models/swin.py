@@ -37,6 +37,16 @@ from dmhomo_tpu.geometry.basis import gen_homography_basis
 from dmhomo_tpu.geometry.warp import upsample_flow_to, warp_by_flow
 
 
+def _level_impl(attn_impl: str, enc_idx: int) -> str:
+    """Per-encoder-level attention impl from a comma-separated spec
+    ('pallas,pallas,fused_block', indexed by enc_idx); a plain name applies
+    to every level."""
+    if "," not in attn_impl:
+        return attn_impl
+    impls = attn_impl.split(",")
+    return impls[min(enc_idx, len(impls) - 1)]
+
+
 @dataclasses.dataclass(frozen=True)
 class SwinConfig:
     crop_size: tuple = (320, 576)
@@ -67,7 +77,10 @@ class SwinConfig:
     # 'fused_block' (ops/swin_block.py - the ENTIRE SwinBlock in one
     # Pallas kernel: LN1/qkv/attention/proj/LN2/MLP all in VMEM, HBM
     # traffic ~= x in + y out; falls back to 'xla' when fold_ln is set
-    # or the resolution is not window-divisible)
+    # or the resolution is not window-divisible).  A comma-separated spec
+    # ('pallas,pallas,fused_block') selects per ENCODER level, indexed by
+    # enc_idx (0 = C=embed_dim level ... nL-1 = widest level) - the r5 A/B
+    # lever for fused_block at C=96 where the VPU lanes aren't starved.
     attn_impl: str = "xla"
     # fold the pre-LayerNorms into the following qkv/MLP projections
     # (LayerNormStats/FoldedDense): the fp32 normalized (B, L, C) tensors
@@ -820,7 +833,7 @@ class SwinTransformer(nn.Module):
                 dtype=dt,
                 sim_dtype=cfg.sim_dtype,
                 fold_ln=cfg.fold_ln,
-                attn_impl=cfg.attn_impl,
+                attn_impl=_level_impl(cfg.attn_impl, enc_idx),
                 legacy_softmax=cfg.legacy_win_softmax,
                 remat=cfg.remat,
                 remat_policy=cfg.remat_policy,

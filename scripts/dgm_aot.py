@@ -11,7 +11,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def sample(bs):
+def sample(bs, bf16_params=False):
     import jax
     import jax.numpy as jnp
 
@@ -37,6 +37,18 @@ def sample(bs):
         mask=jnp.ones((1, S, S, 1)), keep_mask=jnp.ones((1,), bool),
     )
     pshape = jax.eval_shape(lambda k: model.init(k, **dummy), jax.random.PRNGKey(0))["params"]
+    if bf16_params:
+        # VERDICT r4 #4 A/B: stream the EMA sampling weights as bf16.
+        # Arithmetic first: 38.4M params x 4B = 154 MB; the 12-ch input
+        # means ONE weight read per CFG-doubled forward, 32 DDIM steps ->
+        # 32 x 154 MB ~ 4.9 GB of the 6.39 TB batch - 0.08% of traffic.
+        # The sampler's bytes are ACTIVATIONS (bf16 already); this run
+        # quantifies the (tiny) delta under the same AOT accounting.
+        pshape = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(
+                s.shape,
+                jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+            pshape)
     args = (
         pshape,
         jax.ShapeDtypeStruct((2,), jnp.uint32),
@@ -87,7 +99,9 @@ def report(name, comp):
 
 def main():
     for name in sys.argv[1:] or ["sample64"]:
-        if name.startswith("sample"):
+        if name.startswith("sampleb"):  # bf16 sampling params (EMA cast)
+            sample(int(name[7:]), bf16_params=True)
+        elif name.startswith("sample"):
             sample(int(name[6:]))
         elif name.startswith("train"):
             bs, _, a = name[5:].partition("a")

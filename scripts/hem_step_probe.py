@@ -35,8 +35,11 @@ def main():
     p.add_argument("--fold", action="store_true", help="fold_ln=True")
     p.add_argument("--bs", type=int, default=32)
     p.add_argument("--attn", type=str, default=None,
-                   choices=("xla", "pallas", "fused_block"),
-                   help="window-attention impl")
+                   help="window-attention impl: xla | pallas | fused_block, "
+                        "or a per-level comma spec 'pallas,pallas,"
+                        "fused_block' (enc_idx order C=24,48,96; pass "
+                        "--no-remat explicitly with comma specs - "
+                        "remat='auto' only resolves plain 'pallas')")
     p.add_argument("--warp-method", type=str, default=None,
                    choices=("matmul", "gather"),
                    help="bilinear warp formulation (default matmul)")

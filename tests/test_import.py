@@ -297,6 +297,123 @@ def test_import_strict_hem_checkpoint_layout(tmp_path):
 
 
 @needs_ref
+def test_estimator_import_forward_parity_fullsize():
+    """Checkpoint-day rehearsal at the SHIPPED config (VERDICT r4 #7): full
+    crop 320x576, embed_dim 24, depths (2,4,6) — the exact geometry HEM.pth
+    ships at (HEM/experiments/params.json:40-70; manager.py:218-259 load
+    path).  One sample through the torch oracle vs the imported flax
+    forward, full-res eval branch included."""
+    torch.manual_seed(8)
+    crop = (320, 576)
+    ref = make_reference_osnet(crop_size=crop)  # shipped Swin defaults
+    ref.eval()
+
+    cfg = EstimatorConfig(crop_size=crop, ori_size=(360, 640),
+                          swin=SwinConfig(crop_size=crop))
+    model = HomographyEstimator(cfg)
+    params, batch_stats = import_estimator_state_dict(
+        ref.state_dict(), cfg, strict=True)
+
+    rng = np.random.default_rng(8)
+    patch = rng.normal(0, 1, (1, *crop, 2)).astype(np.float32)
+    ours = model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(patch),
+        train=False)
+
+    t_patch = torch.from_numpy(patch).permute(0, 3, 1, 2)
+    data_batch = {
+        "imgs_gray_patch": t_patch,
+        "imgs_gray_full": t_patch,  # full==patch keeps the eval branch 1:1
+        "imgs_rgb_full": torch.zeros(1, 6, *crop),
+        "ganhomo_mask": torch.ones(1, 1, *crop),
+    }
+    with torch.no_grad():
+        golden = ref(data_batch, step=1)
+
+    from dmhomo_tpu.models.estimator import upsample_outputs
+
+    ours_full = upsample_outputs(ours, crop)
+    # basis weights first (tight): any trunk divergence shows here
+    with torch.no_grad():
+        f1 = ref.fea_extra(t_patch[:, :1])
+        f2 = ref.fea_extra(t_patch[:, 1:])
+        w_f = ref.h_net(torch.cat([f1, f2], 1))
+    werr = np.abs(np.asarray(ours["weight_f"]) - w_f.numpy()).max()
+    assert werr < 2e-3, f"full-size basis weight mismatch {werr}"
+    for ok, tk, pick in [
+        ("flow_f", "flow_f", lambda t: t.numpy()),
+        ("flow_b", "flow_b", lambda t: t.numpy()),
+        ("mask_f", "mask_f", lambda t: t.permute(0, 2, 3, 1).numpy()),
+        ("mask_b", "mask_b", lambda t: t.permute(0, 2, 3, 1).numpy()),
+    ]:
+        g = pick(golden[tk])
+        o = np.asarray(ours_full[ok])
+        err = np.abs(o - g).max()
+        assert err < 1e-2, f"full-size {ok} mismatch {err}"
+
+
+@needs_ref
+def test_dgm_ema_import_forward_parity_fullres(tmp_path):
+    """Checkpoint-day rehearsal for DGM.pt's EMA branch at the shipped
+    sampling resolution (VERDICT r4 #7): dim=64 @ 256^2.  The EMA copy is
+    perturbed away from the online weights, so use_ema=True is verified to
+    select the EMA tree; forward parity vs the torch EMA model."""
+    torch.manual_seed(9)
+    from reference_oracle import install_stubs
+
+    install_stubs()
+    from denoising_diffusion_models.classifier_free_guidance import GaussianDiffusion
+
+    from dmhomo_tpu.models.import_torch import load_dgm_checkpoint
+
+    unet = make_reference_unet(num_classes=5)
+    gd = GaussianDiffusion(unet, image_size=256, timesteps=8, sampling_timesteps=2)
+    gd_sd = gd.state_dict()
+
+    # distinct EMA copy: online + 0.01 (detectable if the wrong branch loads)
+    ema_inner = {k: (v + 0.01 if v.is_floating_point() else v)
+                 for k, v in gd_sd.items()}
+    ema_sd = {"initted": torch.tensor(True), "step": torch.tensor(5)}
+    ema_sd.update({f"online_model.{k}": v for k, v in gd_sd.items()})
+    ema_sd.update({f"ema_model.{k}": v for k, v in ema_inner.items()})
+    path = tmp_path / "DGM.pt"
+    torch.save({"model": gd_sd, "ema": ema_sd, "step": 5}, path)
+
+    cfg = UNetConfig(dim=64, num_classes=5)
+    params, info = load_dgm_checkpoint(str(path), cfg, use_ema=True, strict=True)
+    model = ConditionalUNet(cfg)
+
+    # torch EMA twin: load the perturbed weights into a fresh reference UNet
+    ema_unet = make_reference_unet(num_classes=5)
+    ema_unet.load_state_dict(
+        {k[len("model."):]: v for k, v in ema_inner.items()
+         if k.startswith("model.")})
+    ema_unet.eval()
+
+    rng = np.random.default_rng(9)
+    B, S = 1, 256
+    x = rng.normal(0, 1, (B, S, S, 6)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)
+    mask = rng.uniform(0, 1, (B, S, S, 1)).astype(np.float32)
+    t = np.asarray([500])
+    classes = np.asarray([0])
+
+    ours = model.apply(
+        {"params": params},
+        jnp.asarray(x), jnp.asarray(t), jnp.asarray(classes),
+        jnp.asarray(rgb), jnp.asarray(mask), jnp.ones((B,), bool),
+    )
+    with torch.no_grad():
+        golden = ema_unet(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(t),
+            torch.from_numpy(classes), torch.from_numpy(rgb).permute(0, 3, 1, 2),
+            torch.from_numpy(mask).permute(0, 3, 1, 2), cond_drop_prob=0.0,
+        )
+    err = np.abs(np.asarray(ours) - golden.permute(0, 2, 3, 1).numpy()).max()
+    assert err < 5e-3, f"EMA-branch 256^2 forward mismatch {err}"
+
+
+@needs_ref
 def test_estimator_weight_parity():
     """The raw 8 basis weights (pre-flow) must match tightly."""
     torch.manual_seed(3)

@@ -173,6 +173,22 @@ def test_swin_forward_shapes():
     assert np.isfinite(np.asarray(w)).all()
 
 
+def test_swin_per_level_attn_impl_spec(rng):
+    """A comma-separated attn_impl ('xla,xla,xla') must behave exactly like
+    the plain name - the per-level spec only routes the impl choice (the r5
+    fused_block-at-C=96 A/B lever)."""
+    import dataclasses
+
+    cfg = _small_swin_cfg()
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 128, 2)).astype(np.float32))
+    model = SwinTransformer(cfg)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    base = model.apply(variables, x)
+    spec = SwinTransformer(dataclasses.replace(cfg, attn_impl="xla,xla,xla"))
+    got = spec.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
 def test_estimator_forward_and_eval_views(rng):
     cfg = EstimatorConfig(crop_size=(64, 128), ori_size=(72, 144), swin=_small_swin_cfg())
     model = HomographyEstimator(cfg)

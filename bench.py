@@ -61,6 +61,8 @@ HEM_BASELINE_EFFECTIVE_TFLOPS = 13.45 * 0.30
 
 def main():
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.diffusion import DiffusionConfig, GaussianDiffusion

@@ -45,9 +45,13 @@ class EstimatorConfig:
     # (scripts/hem_step_probe.py --ablate-mask); NOT the reference
     ablate_mask: bool = False
     # mask-head formulation: 'concat' materializes the reference's DenseNet
-    # concat growth (bf16[B,320,576,82] & friends were the step's LARGEST
+    # concat growth (bf16[B,320,576,82] & friends are the step's largest
     # HBM allocations); 'split' computes conv(concat(ys)) as a sum of
-    # sliced-kernel convs — same params, same math, no concats in HBM
+    # sliced-kernel convs — same params, same math, no concats in HBM.
+    # MEASURED NEGATIVE on chip (r5, BENCH.md lever sweep): 16.0 vs 19.5
+    # pairs/s — each group is re-read by every later conv, which costs
+    # more than the one-off concat writes.  'concat' stays the default;
+    # 'split' kept as the documented-negative A/B lever.
     mask_impl: str = "concat"
     # bilinear warp formulation: None = 'matmul'; 'gather' = oracle
     warp_method: Optional[str] = None

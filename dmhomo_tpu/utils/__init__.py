@@ -4,6 +4,7 @@ from dmhomo_tpu.utils.checkpoint import save_checkpoint, load_checkpoint, latest
 from dmhomo_tpu.utils.constructor import NetConstructor, model_constructor
 from dmhomo_tpu.utils.meters import AverageMeter, MetricTracker
 from dmhomo_tpu.utils.logging import get_logger
+from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
 
 __all__ = [
     "NetConstructor",
@@ -14,4 +15,5 @@ __all__ = [
     "AverageMeter",
     "MetricTracker",
     "get_logger",
+    "enable_persistent_compile_cache",
 ]

@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def sample(bs, bf16_params=False):
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.diffusion import DiffusionConfig, GaussianDiffusion
@@ -64,6 +66,8 @@ def train(bs, accum):
     import dataclasses
 
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.train.config import DGMTrainConfig

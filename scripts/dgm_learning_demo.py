@@ -68,6 +68,8 @@ def make_conditions(n: int, S: int, num_classes: int, seed: int):
 def photometric_proxy(trainer, cond, classes, key, use_ema=True):
     """Masked photometric error of sampled pairs under the condition flow."""
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.geometry import warp_by_flow

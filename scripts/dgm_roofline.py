@@ -48,6 +48,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.diffusion import DiffusionConfig, GaussianDiffusion

@@ -35,6 +35,8 @@ def main():
     args = p.parse_args()
 
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.train.config import DGMTrainConfig

@@ -60,6 +60,8 @@ def main():
     args = p.parse_args()
 
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")

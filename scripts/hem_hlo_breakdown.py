@@ -112,6 +112,8 @@ def main():
 
     from hem_step_aot import build  # noqa: E402 (sibling script)
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     tr = build(attn=args.attn, accum=args.accum or 4, remat=args.remat)

@@ -135,6 +135,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+        enable_persistent_compile_cache()
 
     from dmhomo_tpu.data import DataLoader, SyntheticHomoPairs
     from dmhomo_tpu.data.loader import cycle

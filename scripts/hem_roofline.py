@@ -90,12 +90,18 @@ def main(argv=None):
     p.add_argument("--mask-impl", type=str, default=None)
     p.add_argument("--accum", type=int, default=4)
     p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--flops-per-pair", type=float, default=None,
+                   help="known remat-off FLOPs/pair anchor (e.g. 279.5e9, "
+                        "BENCH.md) - skips the two XLA-twin compiles that "
+                        "only serve the flops count")
     p.add_argument("--out", type=str, default="reports/hem_roofline.json")
     args = p.parse_args(argv)
 
     import dataclasses
 
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.losses import compute_losses
@@ -141,7 +147,9 @@ def main(argv=None):
     # (b) full single-step program (accum scan body counted once)
     full_b, full_f, full_cc, full_ccn = cost(
         tr._train_step.lower(state_s, batch_s))
-    _, full_f_ref, _, _ = cost(tr_fl._train_step.lower(state_s, batch_s))
+    full_f_ref = None
+    if args.flops_per_pair is None:
+        _, full_f_ref, _, _ = cost(tr_fl._train_step.lower(state_s, batch_s))
 
     # (a) standalone microbatch loss+grad twin of the accum scan body
     accum = min(args.accum, BS)
@@ -171,13 +179,19 @@ def main(argv=None):
     mic_b, mic_f, mic_cc, mic_ccn = cost(
         jax.jit(make_micro(tr.model)).lower(
             state_s["params"], state_s["batch_stats"], micro_s))
-    _, mic_f_ref, _, _ = cost(
-        jax.jit(make_micro(tr_fl.model)).lower(
-            state_s["params"], state_s["batch_stats"], micro_s))
+    mic_f_ref = None
+    if args.flops_per_pair is None:
+        _, mic_f_ref, _, _ = cost(
+            jax.jit(make_micro(tr_fl.model)).lower(
+                state_s["params"], state_s["batch_stats"], micro_s))
 
     true_bytes = (accum - 1) * (mic_b + mic_cc) + full_b + full_cc
-    # flops from the XLA remat-off twin (same math, einsums counted)
-    true_flops = (accum - 1) * mic_f_ref + full_f_ref
+    # flops from the XLA remat-off twin (same math, einsums counted), or
+    # the known anchor passed in
+    if args.flops_per_pair is not None:
+        true_flops = args.flops_per_pair * BS
+    else:
+        true_flops = (accum - 1) * mic_f_ref + full_f_ref
     report = {
         "config": {"bs": BS, "accum": accum, "attn": args.attn,
                    "mask_impl": args.mask_impl or cfg.estimator.mask_impl,

@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def build(sim_bf16=False, policy=None, accum=1, remat=True, fold_ln=False,
           attn=None, warp_method=None, ablate_warps=False, mask_impl=None):
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.train.config import HEMTrainConfig

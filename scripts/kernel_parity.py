@@ -127,6 +127,8 @@ def xla_attn(qkv, bias, mask, h, scale):
 
 def run_window_attention_cases(B, dtypes, with_masks, results):
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.ops.window_attention import fused_window_attention

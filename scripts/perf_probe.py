@@ -19,6 +19,8 @@ def chain_time(fn, x0, iters=8):
     """fn must map its output shape to itself; chains calls so nothing is
     memoized or pipelined away, returns seconds/call."""
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     x = fn(x0)
     x = jax.block_until_ready(x)

@@ -40,6 +40,8 @@ def main():
     args = p.parse_args()
 
     import jax
+    from dmhomo_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from dmhomo_tpu.ops.window_attention import fused_window_attention

@@ -111,8 +111,6 @@ OSNET_SKIPS: Tuple[str, ...] = (
     r"\.relative_position_index$",  # buffer: re-derived from window_size
     r"\.attn_mask$",                # buffer: SW-MSA mask re-derived
     r"\.num_batches_tracked$",      # BN bookkeeping; running stats suffice
-    r"^h_net\.basis$",              # deterministic torch.qr product we
-                                    # regenerate (geometry/basis.py)
     # PatchMerging's reduction Linear + LayerNorm are constructed but its
     # forward only runs the conv1/norm1/conv2/norm2 path
     # (swin_multi.py:931-977)
@@ -333,6 +331,21 @@ def import_estimator_state_dict(
     swin: SwinConfig = config.swin
     p: Dict = {}
     bs: Dict = {}
+
+    # h_net.basis: the checkpoint's OWN flow-basis buffer (net.py:712,
+    # stored (1, 8, h*w*2) in (8, 2, h, w) flatten order).  torch's fp32
+    # QR deviates from the true orthonormal Q by up to ~2e-2 at 320x576
+    # and the checkpoint's h_net weights are trained against THAT basis,
+    # so we install it as the active basis for this crop size instead of
+    # regenerating (flow parity would otherwise be off by ~|w|x2e-2 px).
+    if "h_net.basis" in sd:
+        from dmhomo_tpu.geometry.basis import set_basis_override
+
+        ch, cw = config.crop_size
+        set_basis_override(
+            ch, cw,
+            np.asarray(sd["h_net.basis"]).reshape(8, 2, ch, cw)
+            .transpose(0, 2, 3, 1))
 
     # fea_extra: Sequential conv/BN/ReLU x3 at torch indices 0,1 / 3,4 / 6,7
     fe_p, fe_s = {}, {}

@@ -36,6 +36,18 @@ from reference_oracle import (
 needs_ref = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 
 
+@pytest.fixture(autouse=True)
+def _clear_basis_overrides():
+    """import_estimator_state_dict installs the checkpoint's h_net.basis
+    buffer as the process-wide basis for its crop size (required for flow
+    parity — torch's fp32 QR is ~2e-2 off the true Q at 320x576).  Clear
+    it after each test so non-import tests keep the regenerated basis."""
+    yield
+    from dmhomo_tpu.geometry import basis as _basis
+
+    _basis._BASIS_OVERRIDES.clear()
+
+
 def _tree_shapes(tree):
     return {
         "/".join(str(k.key) for k in path): leaf.shape
@@ -370,9 +382,13 @@ def test_dgm_ema_import_forward_parity_fullres(tmp_path):
     gd = GaussianDiffusion(unet, image_size=256, timesteps=8, sampling_timesteps=2)
     gd_sd = gd.state_dict()
 
-    # distinct EMA copy: online + 0.01 (detectable if the wrong branch loads)
-    ema_inner = {k: (v + 0.01 if v.is_floating_point() else v)
-                 for k, v in gd_sd.items()}
+    # distinct EMA copy: final_conv.bias + 0.5 (detectable if the wrong
+    # branch loads — the output shifts by exactly 0.5).  Perturbing EVERY
+    # weight (the first draft) drives a 20-layer net's output to ~3e11,
+    # where fp32 accumulation-order noise alone is ~2e5 and an absolute
+    # tolerance is meaningless.
+    ema_inner = {k: v.clone() for k, v in gd_sd.items()}
+    ema_inner["model.final_conv.bias"] = ema_inner["model.final_conv.bias"] + 0.5
     ema_sd = {"initted": torch.tensor(True), "step": torch.tensor(5)}
     ema_sd.update({f"online_model.{k}": v for k, v in gd_sd.items()})
     ema_sd.update({f"ema_model.{k}": v for k, v in ema_inner.items()})
@@ -409,8 +425,22 @@ def test_dgm_ema_import_forward_parity_fullres(tmp_path):
             torch.from_numpy(classes), torch.from_numpy(rgb).permute(0, 3, 1, 2),
             torch.from_numpy(mask).permute(0, 3, 1, 2), cond_drop_prob=0.0,
         )
-    err = np.abs(np.asarray(ours) - golden.permute(0, 2, 3, 1).numpy()).max()
+    g = golden.permute(0, 2, 3, 1).numpy()
+    err = np.abs(np.asarray(ours) - g).max()
     assert err < 5e-3, f"EMA-branch 256^2 forward mismatch {err}"
+
+    # branch check: the online twin differs from the EMA twin by the 0.5
+    # bias shift; if use_ema=True had loaded online weights, err above
+    # would be ~0.5, and this distance confirms the probe is visible.
+    unet.eval()
+    with torch.no_grad():
+        online = unet(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(t),
+            torch.from_numpy(classes), torch.from_numpy(rgb).permute(0, 3, 1, 2),
+            torch.from_numpy(mask).permute(0, 3, 1, 2), cond_drop_prob=0.0,
+        )
+    sep = np.abs(online.permute(0, 2, 3, 1).numpy() - g).max()
+    assert sep > 0.4, f"EMA probe not visible in output ({sep})"
 
 
 @needs_ref

@@ -98,6 +98,7 @@ def report(name, comp):
     except Exception:
         peak = ""
     print(f"{name}: bytes={ca.get('bytes accessed', 0)/1e12:.3f}TB "
+          f"({ca.get('bytes accessed', 0):.0f}) "
           f"flops={ca.get('flops', 0)/1e12:.2f}T{peak}", flush=True)
 
 

@@ -174,6 +174,14 @@ def main(argv=None):
     steps_per_epoch = max(args.steps // 10, 1)
 
     def run_twostage(bf16: bool, tag: str, curve: list):
+        # fresh checkpoint root: orbax keeps step-numbered saves and load()
+        # resolves to the HIGHEST step, so a stale dir from a previous run
+        # with more steps would silently hijack the fork init (caught r5:
+        # a 400-step probe loaded the prior 600-step run's weights)
+        import shutil
+
+        shutil.rmtree(f"{args.ckpt}_{tag}", ignore_errors=True)
+
         def make_cfg(loss):
             return HEMTrainConfig(
                 estimator=EstimatorConfig(crop_size=crop, ori_size=ori, swin=swin),

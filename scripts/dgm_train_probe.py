@@ -75,11 +75,14 @@ def main():
     state = tr.state
     st, losses = fused(state, jax.random.PRNGKey(0))  # compile
     jax.block_until_ready(losses)
+    del st, losses  # holding a second full train state OOMs the next run
     print("compiled; timing", flush=True)
+    out = None
     for r in range(args.runs):
+        del out  # free the previous run's state before dispatching
         t0 = time.time()
-        _, losses = fused(state, jax.random.PRNGKey(2 + r))
-        lv = float(jax.device_get(losses[-1]))
+        out = fused(state, jax.random.PRNGKey(2 + r))
+        lv = float(jax.device_get(out[1][-1]))
         dt = (time.time() - t0) / K
         print(f"DGM fused(dev-data) {K}-step run {r}: {dt*1e3:.0f} ms/step "
               f"({BS/dt:.1f} samples/s, loss {lv:.4f})", flush=True)

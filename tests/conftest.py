@@ -53,3 +53,16 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Fast-tier wall-clock budget (r5, 1 CPU, warm .jax_cache_tests):
+# ~15 min for 170 tests.  The remaining top costs are EXECUTION, not
+# compiles (the cache absorbs those after the first seeding run):
+#   ~60 s  test_cli::test_hem_eval_cli_ragged_tail   (CLI subprocess: own
+#          interpreter + cache-load + eval at two batch geometries)
+#   ~60 s  test_train::test_hem_grad_accum_matches_single_batch (two full
+#          train-step variants executed on CPU)
+#   ~45 s  test_data::test_hem_trainer_accepts_device_pipeline_batches
+#   ~44 s  test_train::test_hem_fused_steps_match_sequential
+# Shipped-off flag-equivalence tests (fold_ln, remat_policy, mask 'split')
+# are heavy-tier: they run by default but not in -m "not heavy".

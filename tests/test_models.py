@@ -210,6 +210,8 @@ def test_estimator_forward_and_eval_views(rng):
     assert fusion.min() >= -1e-6 and np.isfinite(fusion).all()
 
 
+@pytest.mark.heavy  # shipped-off flag equivalence (BENCH r5: 'split' is
+# measured-negative on chip); runs by default, skipped in the fast loop
 def test_mask_head_split_impl_matches_concat(rng):
     """FlowMaskEstimator impl='split' (sliced-kernel convs over implicit
     concats) == impl='concat' (the reference formulation): same param tree,
@@ -372,6 +374,8 @@ def test_estimator_diagnostic_config_knobs(rng):
                                np.asarray(out["flow_f"]), atol=1e-6)
 
 
+@pytest.mark.heavy  # shipped-off flag equivalence (remat_policy is an
+# AOT-negative lever, BENCH r3); runs by default, skipped in the fast loop
 def test_swin_remat_policy_matches_full_remat(rng):
     """remat_policy='dots_with_no_batch_dims_saveable' gives the same
     outputs and gradients as full SwinBlock remat (it only changes what
@@ -407,6 +411,8 @@ def test_swin_remat_policy_matches_full_remat(rng):
     )
 
 
+@pytest.mark.heavy  # shipped-off flag equivalence (fold_ln is an
+# AOT-negative lever, BENCH r3); runs by default, skipped in the fast loop
 def test_swin_fold_ln_matches_materialized(rng):
     """fold_ln=True (pre-LayerNorms folded into qkv/MLP epilogues, the fp32
     normalized tensors never materialized) is numerically equivalent to the

@@ -133,14 +133,22 @@ def _bilinear_sample_matmul(img, coords, mode):
 
     def one_chunk(c):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * ch, ch, axis=1)
+        # cast the tap weights BEFORE the broadcast-multiply: the (B, ch,
+        # w, H/W) products then build directly in the matmul dtype.  On
+        # the bf16 path this halves the largest tensors in the HEM step
+        # (the r5 HLO breakdown shows 425 MB f32 selects + converts per
+        # chunk when the chain runs f32-then-cast); numerically it only
+        # adds one bf16 rounding to the two-tap sum — the einsum consumes
+        # U/V at bf16 either way.  fp32 inputs: wdt == f32, identical.
+        wv = lambda a: sl(a).astype(wdt)[..., None]
         U = (
-            sl(wy0)[..., None] * (sl(y0i)[..., None] == ih)
-            + sl(wy1)[..., None] * (sl(y1i)[..., None] == ih)
-        ).astype(wdt)  # (B, ch, w, H)
+            wv(wy0) * (sl(y0i)[..., None] == ih).astype(wdt)
+            + wv(wy1) * (sl(y1i)[..., None] == ih).astype(wdt)
+        )  # (B, ch, w, H)
         V = (
-            sl(wx0)[..., None] * (sl(x0i)[..., None] == iw)
-            + sl(wx1)[..., None] * (sl(x1i)[..., None] == iw)
-        ).astype(wdt)  # (B, ch, w, W)
+            wv(wx0) * (sl(x0i)[..., None] == iw).astype(wdt)
+            + wv(wx1) * (sl(x1i)[..., None] == iw).astype(wdt)
+        )  # (B, ch, w, W)
         T = jnp.einsum("bpwh,bhvc->bpwvc", U, imgw, precision=prec)
         return jnp.einsum("bpwvc,bpwv->bpwc", T, V, precision=prec)
 
